@@ -1,0 +1,119 @@
+"""Runtime configuration for the FMM executor and the Krylov solvers.
+
+TPU-native re-design of the reference's option objects:
+- ``FMMConfig``   mirrors include/FMMOptions.hpp (MAC theta, NCRIT,
+  FMM-vs-treecode evaluator choice) plus array-framework knobs (dtype,
+  tile sizes) the reference has no equivalent of.
+- ``SolverConfig`` mirrors examples/BEM/SolverOptions.hpp:11-39 including
+  the paper's relaxation-order predictor ``predict_p``
+  (SolverOptions.hpp:25-38).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import math
+from typing import Optional
+
+
+class Evaluator(enum.Enum):
+    """FMM (M2L + downward pass) or treecode (M2P at targets).
+
+    Ref: include/FMMOptions.hpp:17-18 (EvalType {FMM, TREECODE}).
+    """
+
+    FMM = "fmm"
+    TREECODE = "treecode"
+
+
+class RelaxType(enum.Enum):
+    """Relaxation strategy for the GMRES truncation-order schedule.
+
+    Ref: examples/BEM/SolverOptions.hpp:13 (SIMONCINI / BOURAS).
+    """
+
+    SIMONCINI = "simoncini"
+    BOURAS = "bouras"
+
+
+@dataclasses.dataclass
+class FMMConfig:
+    """Options controlling tree build, traversal and evaluation.
+
+    The MAC accepts a box pair for far-field interaction when
+    ``|c1 - c2|^2 > ((r1 + r2) / theta)^2`` with ``r`` the box half-side
+    (ref: include/FMMOptions.hpp:21-31 DefaultMAC). Defaults match the
+    reference: theta = 0.5, ncrit = 64, FMM evaluator
+    (FMMOptions.hpp:39-48).
+    """
+
+    theta: float = 0.5
+    ncrit: int = 64
+    evaluator: Evaluator = Evaluator.FMM
+    #: maximum octree depth (ref MortonCoder: 10 levels, Octree.hpp:87-89)
+    max_level: int = 10
+    #: expansion order the device buffers are allocated at; ``set_p``-style
+    #: relaxation selects p <= max_p per matvec (ref LaplaceSpherical.hpp:119-128)
+    max_p: int = 16
+    #: element dtype for device arrays ("float32" on TPU, "float64" for
+    #: CPU-based accuracy tests)
+    dtype: str = "float32"
+    #: pad M2L translation-class segments to multiples of this many pairs
+    #: so each tile is a single dense matmul on the MXU
+    m2l_tile: int = 128
+    #: chunk sizes bounding transient memory of gather-heavy ops
+    p2p_chunk: int = 1024
+
+    def mac_accept(self, c1, r1, c2, r2):
+        """Vectorised multipole-acceptance criterion (numpy arrays)."""
+        import numpy as np
+
+        d2 = ((c1 - c2) ** 2).sum(axis=-1)
+        rhs = (r1 + r2) / self.theta
+        return d2 > rhs * rhs
+
+
+@dataclasses.dataclass
+class SolverConfig:
+    """GMRES/FGMRES options + the inexact-Krylov relaxation schedule.
+
+    Defaults per examples/BEM/SolverOptions.hpp:17-23: tol 1e-5,
+    500 iterations, restart 500, max_p 16, p_min 5, variable_p on,
+    Bouras-Fraysse relaxation.
+    """
+
+    residual: float = 1e-5
+    max_iters: int = 500
+    restart: int = 500
+    max_p: int = 16
+    p_min: int = 5
+    variable_p: bool = True
+    relax_type: RelaxType = RelaxType.BOURAS
+
+    def predict_p(self, eps: float) -> int:
+        """Multipole order needed for an inexact matvec at residual ``eps``.
+
+        Bouras-Fraysse: nu = min(alpha * tol, 1), alpha = 1 / min(eps, 1),
+        p = min(ceil(-log2 nu), max_p).  Simoncini: p = min(ceil(-log2 eps),
+        max_p).  Ref: examples/BEM/SolverOptions.hpp:25-38 (the 2^-p error
+        model for the spherical Laplace kernel).
+        """
+        if self.relax_type is RelaxType.BOURAS:
+            alpha = 1.0 / min(eps, 1.0)
+            nu = min(alpha * self.residual, 1.0)
+            if nu <= 0.0:
+                return self.max_p
+            return min(int(math.ceil(-math.log2(nu))) if nu < 1.0 else 1, self.max_p)
+        else:
+            if eps <= 0.0:
+                return self.max_p
+            return min(
+                int(math.ceil(-math.log2(eps))) if eps < 1.0 else 1, self.max_p
+            )
+
+    def schedule_p(self, resid: float, p_fixed: Optional[int] = None) -> int:
+        """The per-iteration order: fixed, or relaxed from the residual."""
+        if p_fixed is not None or not self.variable_p:
+            return p_fixed if p_fixed is not None else self.max_p
+        return max(1, self.predict_p(resid))

@@ -1,0 +1,190 @@
+"""Laplace point kernel: K(t,s) = 1/|s-t|, force (s-t)/|s-t|^3.
+
+TPU-native counterpart of kernel/LaplaceSpherical.hpp.  Device-side
+operators are batched jnp functions over bodies; translation matrices
+come from :mod:`fmm_bem_tpu.kernels.harmonics`.  Forces are obtained by
+automatic differentiation of the (scalar) potential accumulated from the
+expansion — replacing the reference's hand-derived YnmTheta/sph2cart
+machinery (LaplaceSpherical.hpp:340-368,422-450,455-561) with
+``jax.grad``, which is both simpler and exactly consistent with the
+potential.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fmm_bem_tpu.kernels import harmonics as hm
+
+
+def _complex_dtype(dtype):
+    return jnp.complex64 if jnp.dtype(dtype) == jnp.float32 else jnp.complex128
+
+
+def eval_regular(d, p):
+    """Regular solid harmonics R_n^m(d), m >= 0, flat (n,m) index.
+
+    Batched over leading dims of ``d`` [..., 3]; returns complex
+    [..., T(p)].  Cartesian two-term recurrence — no trig, no sin(theta)
+    division (cf. the reference's polar-coordinate recurrence,
+    LaplaceSpherical.hpp:455-488).
+    """
+    x, yc, z = d[..., 0], d[..., 1], d[..., 2]
+    rho2 = x * x + yc * yc + z * z
+    u = jax.lax.complex(x, yc)
+    cols = [None] * hm.num_terms(p)
+    bmm = jnp.ones_like(u)
+    for m in range(p):
+        if m > 0:
+            bmm = bmm * (-(2 * m - 1)) * u
+        b_prev2 = jnp.zeros_like(u)
+        b_prev = bmm
+        for n in range(m, p):
+            if n > m:
+                b = ((2 * n - 1) * z * b_prev - (n + m - 1) * rho2 * b_prev2) / (
+                    n - m
+                )
+                b_prev2, b_prev = b_prev, b
+            cols[n * (n + 1) // 2 + m] = float(hm.prefac(n, m)) * b_prev
+    return jnp.stack(cols, axis=-1)
+
+
+def eval_singular(d, p, eps=0.0):
+    """Singular solid harmonics S_n^m(d), m >= 0, flat (n,m) index."""
+    x, yc, z = d[..., 0], d[..., 1], d[..., 2]
+    rho2 = x * x + yc * yc + z * z + eps
+    inv_rho2 = 1.0 / rho2
+    u = jax.lax.complex(x, yc)
+    cols = [None] * hm.num_terms(p)
+    cmm = jnp.sqrt(inv_rho2).astype(u.dtype)
+    for m in range(p):
+        if m > 0:
+            cmm = cmm * (-(2 * m - 1)) * u * inv_rho2
+        c_prev2 = jnp.zeros_like(u)
+        c_prev = cmm
+        for n in range(m, p):
+            if n > m:
+                c = (
+                    ((2 * n - 1) * z * c_prev - (n + m - 1) * c_prev2)
+                    * inv_rho2
+                    / (n - m)
+                )
+                c_prev2, c_prev = c_prev, c
+            cols[n * (n + 1) // 2 + m] = float(hm.prefac(n, m)) * c_prev
+    return jnp.stack(cols, axis=-1)
+
+
+def _to_real_pairs(c):
+    """complex [..., T] -> real [..., 2, T] (re/im stacked)."""
+    return jnp.stack([jnp.real(c), jnp.imag(c)], axis=-2)
+
+
+class LaplaceKernel:
+    """Point Laplace kernel (ref kernel/LaplaceSpherical.hpp).
+
+    charge: scalar; result: [potential, fx, fy, fz] (Vec<4> in the ref,
+    LaplaceSpherical.hpp:66-68).
+    """
+
+    name = "laplace"
+    ncomp = 1      # expansion components per box
+    charge_dim = 1
+    result_dim = 4
+    #: self-interaction exclusion threshold on R^2 (ref :158)
+    eps2 = 1e-8
+
+    # ----- expansion layout -----
+    def num_terms(self, p):
+        return hm.num_terms(p)
+
+    # ----- host-side translation matrices (numpy) -----
+    def m2m_matrix(self, dr_norm, sigma_ratio, p):
+        return hm.m2m_matrix(dr_norm, sigma_ratio, p)
+
+    def m2l_matrix(self, dr_norm, sigma_ratio, p):
+        return hm.m2l_matrix(dr_norm, sigma_ratio, p)
+
+    def l2l_matrix(self, dr_norm, sigma_ratio, p):
+        return hm.l2l_matrix(dr_norm, sigma_ratio, p)
+
+    # ----- device-side operators (jnp, batched over bodies) -----
+    def p2m(self, src, charges, d_norm, p):
+        """Scale-normalised multipole contributions per source.
+
+        M_hat[n,m] = q * conj(R_n^m(d/sigma)) (ref P2M :186-202, with the
+        per-box sigma^n normalisation folded into the argument).
+        Returns real [B, ncomp, 2, T].
+        """
+        del src  # points carry no extra fields
+        y = jnp.conj(eval_regular(d_norm, p))
+        mc = charges[..., None] * y
+        return _to_real_pairs(mc)[..., None, :, :]
+
+    def _l2p_potential(self, L, d_norm, p):
+        """phi at one normalised offset from a real-pair local expansion."""
+        y = eval_regular(d_norm, p)
+        w = jnp.asarray(hm.term_weights(p), dtype=L.dtype)
+        return jnp.sum(w * (L[..., 0, :] * jnp.real(y) - L[..., 1, :] * jnp.imag(y)))
+
+    def l2p(self, tgt, L, d_norm, inv_sigma, p):
+        """Potential + force at targets from their leaf's local expansion.
+
+        Force = grad_t phi computed by AD; the 1/sigma chain-rule factor
+        accounts for the normalised coordinates.
+        """
+        del tgt
+
+        def phi_one(l, d):
+            return self._l2p_potential(l[0], d, p)
+
+        phi = jax.vmap(phi_one)(L, d_norm)
+        grad = jax.vmap(jax.grad(phi_one, argnums=1))(L, d_norm)
+        return jnp.concatenate(
+            [phi[:, None], grad * inv_sigma[:, None]], axis=-1
+        )
+
+    def _m2p_potential(self, M, d_norm, p):
+        s = eval_singular(d_norm, p)
+        w = jnp.asarray(hm.term_weights(p), dtype=M.dtype)
+        return jnp.sum(w * (M[..., 0, :] * jnp.real(s) - M[..., 1, :] * jnp.imag(s)))
+
+    def m2p(self, tgt, M, d_norm, inv_sigma, p):
+        """Treecode far-field evaluation (ref M2P :340-368): the physical
+        potential is (1/sigma) * phi_hat(d/sigma)."""
+        del tgt
+
+        def phi_one(m, d, s):
+            return self._m2p_potential(m[0], d, p) * s
+
+        phi = jax.vmap(phi_one)(M, d_norm, inv_sigma)
+        grad = jax.vmap(jax.grad(phi_one, argnums=1))(M, d_norm, inv_sigma)
+        return jnp.concatenate(
+            [phi[:, None], grad * inv_sigma[:, None]], axis=-1
+        )
+
+    def p2p(self, tgt_xyz, src_xyz, charges):
+        """Direct pairwise block: tgt [Bt,3] x src [Bs,3] -> [Bt, 4].
+
+        Mirrors Direct.hpp's double loop / operator() (ref
+        LaplaceSpherical.hpp:153-162) as one broadcast block.
+        """
+        dist = src_xyz[None, :, :] - tgt_xyz[:, None, :]
+        r2 = jnp.sum(dist * dist, axis=-1)
+        inv_r2 = jnp.where(r2 < self.eps2, 0.0, 1.0 / jnp.maximum(r2, self.eps2))
+        inv_r = jnp.sqrt(inv_r2)
+        pot = jnp.sum(charges[None, :] * inv_r, axis=1)
+        f = jnp.sum(
+            (charges[None, :] * inv_r * inv_r2)[:, :, None] * dist, axis=1
+        )
+        return jnp.concatenate([pot[:, None], f], axis=-1)
+
+    # ----- dense oracle for tests (ref include/Direct.hpp) -----
+    def direct(self, tgt_xyz, src_xyz, charges, chunk=2048):
+        """O(N^2) direct summation, chunked over targets."""
+        tgt_xyz = jnp.asarray(tgt_xyz)
+        outs = []
+        for i in range(0, tgt_xyz.shape[0], chunk):
+            outs.append(self.p2p(tgt_xyz[i : i + chunk], src_xyz, charges))
+        return jnp.concatenate(outs, axis=0)

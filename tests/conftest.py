@@ -1,10 +1,15 @@
-"""Test configuration: force CPU with 8 virtual devices so multi-chip
-sharding tests run anywhere, and enable x64 so accuracy oracles can be
-checked at reference tolerances (tests/correctness.cpp uses 1e-13)."""
+"""Test configuration.
+
+The environment may preload jax with a TPU backend (JAX_PLATFORMS=axon
+via sitecustomize); tests always run on CPU with 8 virtual devices so
+multi-chip sharding tests work anywhere, and with x64 enabled so
+accuracy oracles can be checked at reference tolerances
+(tests/correctness.cpp uses 1e-13).  ``jax.config.update`` is used
+because the env var was already captured at interpreter start.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -13,4 +18,5 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)

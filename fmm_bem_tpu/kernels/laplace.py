@@ -109,6 +109,11 @@ class LaplaceKernel:
     def l2l_matrix(self, dr_norm, sigma_ratio, p):
         return hm.l2l_matrix(dr_norm, sigma_ratio, p)
 
+    def m2l_pair_scale(self, sigma_src):
+        """Per-pair factor applied to the class-matrix product (the
+        physical 1/r falloff the scale-normalised matrix factors out)."""
+        return 1.0 / sigma_src
+
     # ----- device-side operators (jnp, batched over bodies) -----
     def p2m(self, src, charges, d_norm, p):
         """Scale-normalised multipole contributions per source.
@@ -163,6 +168,13 @@ class LaplaceKernel:
         return jnp.concatenate(
             [phi[:, None], grad * inv_sigma[:, None]], axis=-1
         )
+
+    def p2p_block(self, tgt_fields, src_fields, charges, src_mask):
+        """P2P tile for the plan executor: padded source slots carry zero
+        charge, and the eps2 self-exclusion also kills padded sources
+        that alias a target position."""
+        del src_mask
+        return self.p2p(tgt_fields["xyz"], src_fields["xyz"], charges)
 
     def p2p(self, tgt_xyz, src_xyz, charges):
         """Direct pairwise block: tgt [Bt,3] x src [Bs,3] -> [Bt, 4].

@@ -192,6 +192,13 @@ class LaplaceKernel:
         )
         return jnp.concatenate([pot[:, None], f], axis=-1)
 
+    def p2p_matrix(self, tgt_fields, src_fields):
+        """Dense potential-entry block K(t,s) (no charge applied) —
+        used by block preconditioners and near-field assembly."""
+        dist = src_fields["xyz"][None, :, :] - tgt_fields["xyz"][:, None, :]
+        r2 = jnp.sum(dist * dist, axis=-1)
+        return jnp.where(r2 < self.eps2, 0.0, 1.0 / jnp.sqrt(jnp.maximum(r2, self.eps2)))
+
     # ----- dense oracle for tests (ref include/Direct.hpp) -----
     def direct(self, tgt_xyz, src_xyz, charges, chunk=2048):
         """O(N^2) direct summation, chunked over targets."""

@@ -1,0 +1,128 @@
+"""GMRES / FGMRES / relaxation tests (solver layer, ref
+examples/BEM/GMRES.hpp)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fmm_bem_tpu.config import FMMConfig, SolverConfig, RelaxType
+from fmm_bem_tpu.executor.plan import FmmPlan
+from fmm_bem_tpu.kernels.laplace import LaplaceKernel
+from fmm_bem_tpu.solver.gmres import gmres, fgmres
+from fmm_bem_tpu.solver import preconditioners as pc
+
+
+def test_gmres_dense_matches_numpy():
+    rng = np.random.default_rng(0)
+    n = 80
+    A = rng.standard_normal((n, n)) + n * np.eye(n)
+    b = rng.standard_normal(n)
+    Aj = jnp.asarray(A)
+    x, info = gmres(
+        lambda v, p: Aj @ v, b, config=SolverConfig(residual=1e-10)
+    )
+    assert info.converged
+    assert np.allclose(np.asarray(x), np.linalg.solve(A, b), atol=1e-7)
+
+
+def test_gmres_restart():
+    rng = np.random.default_rng(1)
+    n = 60
+    A = rng.standard_normal((n, n)) + n * np.eye(n)
+    b = rng.standard_normal(n)
+    Aj = jnp.asarray(A)
+    x, info = gmres(
+        lambda v, p: Aj @ v,
+        b,
+        config=SolverConfig(residual=1e-9, restart=10, max_iters=200),
+    )
+    assert info.converged
+    assert np.allclose(np.asarray(x), np.linalg.solve(A, b), atol=1e-6)
+
+
+def _fmm_system(n=900, seed=2):
+    """Shifted Laplace potential system (diagonally dominant so GMRES
+    converges quickly): A = P + c*I with P the FMM potential matrix."""
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(0, 1, (n, 3))
+    K = LaplaceKernel()
+    plan = FmmPlan(K, {"xyz": pts}, FMMConfig(ncrit=32, dtype="float64", max_p=10))
+    shift = 50.0
+
+    def matvec(x, p):
+        return plan.apply(x, p=p)[:, 0] + shift * x
+
+    # dense oracle
+    diff = pts[None] - pts[:, None]
+    r = np.sqrt((diff ** 2).sum(-1))
+    np.fill_diagonal(r, np.inf)
+    A = 1.0 / r + shift * np.eye(n)
+    return matvec, A, rng.standard_normal(n)
+
+
+def test_gmres_fmm_operator_fixed_p():
+    matvec, A, b = _fmm_system()
+    x, info = gmres(
+        matvec, b, config=SolverConfig(residual=1e-8, max_p=10), p_fixed=10
+    )
+    assert info.converged
+    exact = np.linalg.solve(A, b)
+    rel = np.linalg.norm(np.asarray(x) - exact) / np.linalg.norm(exact)
+    # solution accuracy is bounded by the FMM matvec accuracy at p=10
+    assert rel < 1e-4, rel
+
+
+def test_gmres_fmm_relaxed_bouras():
+    """Variable-p (inexact Krylov) solve still converges to the true
+    solution — the paper's central claim (arXiv:1506.05957).  Bouras-
+    Fraysse starts at high p and relaxes as the residual drops."""
+    matvec, A, b = _fmm_system()
+    cfg = SolverConfig(
+        residual=1e-6, max_p=10, p_min=2, variable_p=True,
+        relax_type=RelaxType.BOURAS,
+    )
+    x, info = gmres(matvec, b, config=cfg)
+    assert info.converged
+    ps = [h[2] for h in info.history]
+    # relaxation must actually have lowered p as the solve progressed
+    assert min(ps) < max(ps), ps
+    assert ps[0] == 10  # first matvecs at full accuracy
+    exact = np.linalg.solve(A, b)
+    rel = np.linalg.norm(np.asarray(x) - exact) / np.linalg.norm(exact)
+    assert rel < 1e-4, rel
+
+
+def test_gmres_fmm_relaxed_simoncini():
+    """SIMONCINI mode mirrors the reference formula p=ceil(-log2(resid))
+    (SolverOptions.hpp:34-35): p *grows* as the residual falls.  The
+    preconditioned iteration reports convergence; true accuracy is
+    limited by the inexact early matvecs — same behaviour as the
+    reference (its Stokes solver adds a p_min floor for this reason,
+    GMRES_Stokes.hpp:229)."""
+    matvec, A, b = _fmm_system()
+    cfg = SolverConfig(
+        residual=1e-6, max_p=10, p_min=2, variable_p=True,
+        relax_type=RelaxType.SIMONCINI,
+    )
+    x, info = gmres(matvec, b, config=cfg)
+    assert info.converged
+    ps = [h[2] for h in info.history]
+    assert ps[0] < ps[-1], ps
+
+
+def test_fgmres_with_diagonal_pc():
+    matvec, A, b = _fmm_system()
+    M = pc.diagonal(np.diag(A))
+    x, info = fgmres(matvec, b, config=SolverConfig(residual=1e-8), M=M, p_fixed=10)
+    assert info.converged
+    exact = np.linalg.solve(A, b)
+    assert np.linalg.norm(np.asarray(x) - exact) / np.linalg.norm(exact) < 1e-4
+
+
+def test_predict_p_schedule():
+    cfg = SolverConfig(residual=1e-5, max_p=16)
+    # large residual -> small p; tiny residual -> capped at max_p
+    # Bouras: p relaxes (shrinks) as the residual approaches the target
+    assert cfg.predict_p(1.0) >= cfg.predict_p(1e-3) >= cfg.predict_p(1e-4)
+    assert cfg.predict_p(1.0) == 16  # -log2(1e-5) = 16.6, capped at max_p
+    assert cfg.predict_p(2e-5) <= 2  # nearly converged -> cheapest matvec

@@ -154,7 +154,7 @@ def _quad_G(t, verts, area, qpts, qw, kappa=0.0):
     """K-point quadrature of int G over panels: sum_k w_k A / |t - qp_k|
     (ref LaplaceSphericalBEM::eval_G far branch, :195-203)."""
     d = t[:, None, :] - qpts
-    r = np.sqrt((d * d).sum(-1))
+    r = np.maximum(np.sqrt((d * d).sum(-1)), 1e-300)
     g = np.exp(-kappa * r) / r if kappa else 1.0 / r
     return (qw * g).sum(1) * area
 

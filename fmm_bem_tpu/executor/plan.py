@@ -178,6 +178,28 @@ class FmmPlan:
         self.p2p_src_slot = self.box_to_slot[pp[:, 0]].astype(np.int32)
         self.p2p_tgt_slot = self.box_to_slot[pp[:, 1]].astype(np.int32)
 
+        # ---- optional precomputed sparse near field (the array form of
+        # EvalInteractionLazySparse's CSR, the default BEM path): entry
+        # values are charge-independent, branchy (singular quadrature),
+        # and p-independent -> assembled once on the host
+        self.near_rows = self.near_cols = self.near_vals = None
+        if getattr(kern, "near_sparse", False):
+            rows, cols = [], []
+            for s, tg in self.lists.p2p_pairs:
+                ts, tc = t.box_body_start[tg], t.box_body_count[tg]
+                ss, sc = t.box_body_start[s], t.box_body_count[s]
+                tb = np.arange(ts, ts + tc, dtype=np.int32)
+                sb = np.arange(ss, ss + sc, dtype=np.int32)
+                rows.append(np.repeat(tb, sc))
+                cols.append(np.tile(sb, tc))
+            rows = np.concatenate(rows) if rows else np.zeros(0, np.int32)
+            cols = np.concatenate(cols) if cols else np.zeros(0, np.int32)
+            order = np.argsort(rows, kind="stable")
+            rows, cols = rows[order], cols[order]
+            self.near_rows = rows
+            self.near_cols = cols
+            self.near_vals = kern.near_values(self.fields, rows, cols)
+
     def _build_m2l_classes(self):
         t = self.tree
         kern = self.kernel
@@ -291,15 +313,27 @@ class FmmPlan:
             "m2p_src": jnp.asarray(self.m2p_src),
             "m2p_tgt_slot": jnp.asarray(self.m2p_tgt_slot),
             "m2p_inv_sigma": jnp.asarray(self.m2p_inv_sigma, dt),
-            "fields": {k: jnp.asarray(v, dt) for k, v in self.fields.items()},
             "box_center": jnp.asarray(t.box_center, dt),
         }
+        if self.near_rows is not None:
+            d["near_rows"] = jnp.asarray(self.near_rows)
+            d["near_cols"] = jnp.asarray(self.near_cols)
+            d["near_vals"] = jnp.asarray(self.near_vals, dt)
         return d
+
+    def device_fields(self, fields=None):
+        dt = jnp.dtype(self.config.dtype)
+        src = self.fields if fields is None else fields
+        return {
+            k: jnp.asarray(v, dt)
+            for k, v in src.items()
+            if k != "vertices"  # host-only geometry
+        }
 
     # ------------------------------------------------------------------
     # the matvec
     # ------------------------------------------------------------------
-    def _matvec(self, d, q, p):
+    def _matvec(self, d, fields, q, p):
         kern = self.kernel
         t = self.tree
         T = kern.num_terms(p)
@@ -307,11 +341,13 @@ class FmmPlan:
         nl = len(self.leaf_ids)
         K = self.leaf_pad
         dt = jnp.dtype(self.config.dtype)
+        d = dict(d)
+        d["fields"] = fields
 
         qm = jnp.asarray(q, dt)[d["perm"]]
 
         # ---- P2M (ref EvalInteractionLazy.hpp:254-260, batched)
-        contrib = kern.p2m(d["fields"], qm, d["body_dnorm"], p)
+        contrib = kern.p2m(d["fields"], qm, d["body_dnorm"], d["body_inv_sigma"], p)
         M = _seg_sum(contrib, d["body_leaf_box"], nbox)  # [B, ncomp, 2, T]
         ncomp = M.shape[1]
 
@@ -378,8 +414,18 @@ class FmmPlan:
         if len(self.m2p_src):
             res_m = res_m + self._m2p_pass(d, M, p, nl, K, dt)
 
-        # ---- P2P near field
-        if len(self.p2p_src_slot):
+        # ---- near field: precomputed sparse values (BEM) or direct P2P
+        if self.near_rows is not None:
+            if len(self.near_rows):
+                res_m = res_m + kern.near_matvec(
+                    d["near_vals"],
+                    d["near_rows"],
+                    d["near_cols"],
+                    d["fields"],
+                    qm,
+                    t.num_bodies,
+                )
+        elif len(self.p2p_src_slot):
             res_m = res_m + self._p2p_pass(d, qm, nl, K, dt)
 
         # back to user ordering
@@ -432,19 +478,32 @@ class FmmPlan:
     # ------------------------------------------------------------------
     # public API
     # ------------------------------------------------------------------
-    def apply(self, charges, p=None):
+    def apply(self, charges, p=None, fields=None):
         """One FMM matvec at truncation order ``p`` (ref
         FMM_plan::execute, FMM_plan.hpp:75-90 + the set_p relaxation
-        hook).  Compiles one specialisation per distinct p."""
+        hook).  Compiles one specialisation per distinct p.
+
+        ``fields`` overrides per-source arrays at call time (already in
+        Morton order) — e.g. flipped BC flags to evaluate the RHS
+        operator, replacing the reference's full plan rebuild
+        (LaplaceBEM.cpp:218-232) with a pure input change.
+        """
         p = int(p if p is not None else self.config.max_p)
         if p not in self._apply_cache:
             d = self._device_data(p)
 
-            def f(q):
-                return self._matvec(d, q, p)
+            def f(fl, q):
+                return self._matvec(d, fl, q, p)
 
             self._apply_cache[p] = jax.jit(f)
-        return self._apply_cache[p](charges)
+        return self._apply_cache[p](self.device_fields(fields), charges)
+
+    def apply_flipped_bc(self, charges, p=None):
+        """Matvec with every panel's BC flag flipped (the reference's
+        switch_BC RHS trick) — same plan, same compiled executable."""
+        fl = dict(self.fields)
+        fl["bc"] = 1.0 - np.asarray(fl["bc"])
+        return self.apply(charges, p=p, fields=fl)
 
     # alias matching the reference naming (FMM_plan::execute)
     execute = apply

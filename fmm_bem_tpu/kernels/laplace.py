@@ -115,14 +115,14 @@ class LaplaceKernel:
         return 1.0 / sigma_src
 
     # ----- device-side operators (jnp, batched over bodies) -----
-    def p2m(self, src, charges, d_norm, p):
+    def p2m(self, src, charges, d_norm, inv_sigma, p):
         """Scale-normalised multipole contributions per source.
 
         M_hat[n,m] = q * conj(R_n^m(d/sigma)) (ref P2M :186-202, with the
         per-box sigma^n normalisation folded into the argument).
         Returns real [B, ncomp, 2, T].
         """
-        del src  # points carry no extra fields
+        del src, inv_sigma  # points carry no extra fields
         y = jnp.conj(eval_regular(d_norm, p))
         mc = charges[..., None] * y
         return _to_real_pairs(mc)[..., None, :, :]

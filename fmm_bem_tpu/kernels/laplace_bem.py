@@ -1,0 +1,166 @@
+"""Laplace BEM panel kernel.
+
+TPU-native counterpart of kernel/LaplaceSphericalBEM.hpp: the expansion
+carries two components per box — a single-layer (G) part built from
+panel quadrature monopoles and a double-layer (dGdn) part built from
+quadrature dipoles (ref P2M :307-352) — and every evaluation selects
+G vs -dGdn by the panel's boundary-condition flag (ref operator()
+:273-297, M2P/L2P :394-476).  The BC flag is a runtime *array*, so the
+same compiled matvec produces both the system operator and the RHS
+operator (the reference rebuilds a whole plan after switch_BC,
+LaplaceBEM.cpp:218-232).
+
+Near-field entries (singular/near-singular panel integrals) are
+precomputed on the host into sparse value pairs (G, dGdn) — see
+fmm_bem_tpu.bem.integrals — exactly as the reference's
+EvalInteractionLazySparse caches its CSR matrix.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fmm_bem_tpu.bem.integrals import near_entries_laplace
+from fmm_bem_tpu.kernels import harmonics as hm
+from fmm_bem_tpu.kernels.laplace import (
+    _to_real_pairs,
+    eval_regular,
+    eval_singular,
+)
+
+
+def _seg_sum(x, ids, num):
+    return jax.ops.segment_sum(x, ids, num_segments=num)
+
+
+class LaplaceBEMKernel:
+    """Single/double-layer Laplace panel kernel (ncomp = 2)."""
+
+    name = "laplace_bem"
+    ncomp = 2
+    charge_dim = 1
+    result_dim = 1
+    near_sparse = True
+
+    def __init__(self, K=3, fine_K=17):
+        self.K = K
+        self.fine_K = fine_K
+
+    # ----- expansion layout / host matrices: shared with the point kernel
+    def num_terms(self, p):
+        return hm.num_terms(p)
+
+    def m2m_matrix(self, dr_norm, sigma_ratio, p):
+        return hm.m2m_matrix(dr_norm, sigma_ratio, p)
+
+    def m2l_matrix(self, dr_norm, sigma_ratio, p):
+        return hm.m2l_matrix(dr_norm, sigma_ratio, p)
+
+    def l2l_matrix(self, dr_norm, sigma_ratio, p):
+        return hm.l2l_matrix(dr_norm, sigma_ratio, p)
+
+    def m2l_pair_scale(self, sigma_src):
+        return 1.0 / sigma_src
+
+    # ----- device ops -----
+    def p2m(self, fields, charges, d_norm, inv_sigma, p):
+        """Panel P2M: quadrature monopoles into component 0 (G) when the
+        panel carries POTENTIAL data, quadrature dipoles into component 1
+        (dGdn) when it carries NORMAL_DERIV data (ref
+        LaplaceSphericalBEM.hpp:307-352)."""
+        qp = fields["qp_off"] * inv_sigma[:, None, None] + d_norm[:, None, :]
+        nK = qp.shape[1]
+        w = (fields["qw"] * fields["area"][:, None]) * charges[:, None]  # [N,K]
+
+        nrm = jnp.broadcast_to(fields["normal"][:, None, :], qp.shape)
+        y, dy = jax.jvp(lambda z: eval_regular(z, p), (qp,), (nrm,))
+        # component 0: sum_k w_k conj(R(qp_k))
+        m0 = jnp.sum(w[..., None] * jnp.conj(y), axis=1)
+        # component 1: sum_k w_k (n . grad) conj(R), with the 1/sigma
+        # chain-rule factor from normalised coordinates
+        m1 = jnp.sum(w[..., None] * jnp.conj(dy), axis=1) * inv_sigma[:, None]
+
+        bc = fields["bc"]
+        m0 = m0 * (1.0 - bc)[:, None]
+        m1 = m1 * bc[:, None]
+        return jnp.stack(
+            [_to_real_pairs(m0), _to_real_pairs(m1)], axis=1
+        )  # [N, 2(comp), 2(re/im), T]
+
+    def l2p(self, fields, L, d_norm, inv_sigma, p):
+        """Evaluate at panel centers: +r0 for POTENTIAL targets, -r1 for
+        NORMAL_DERIV targets (ref L2P :448-476)."""
+        del inv_sigma
+        y = eval_regular(d_norm, p)
+        w = jnp.asarray(hm.term_weights(p), dtype=L.dtype)
+        re, im = jnp.real(y), jnp.imag(y)
+        r0 = jnp.sum(w * (L[:, 0, 0, :] * re - L[:, 0, 1, :] * im), axis=-1)
+        r1 = jnp.sum(w * (L[:, 1, 0, :] * re - L[:, 1, 1, :] * im), axis=-1)
+        bc = fields["bc"]
+        return jnp.where(bc == 0.0, r0, -r1)[:, None]
+
+    def m2p(self, fields, M, d_norm, inv_sigma, p):
+        """Treecode/skew far-field evaluation (ref M2P :394-422)."""
+        s = eval_singular(d_norm, p)
+        w = jnp.asarray(hm.term_weights(p), dtype=M.dtype)
+        re, im = jnp.real(s), jnp.imag(s)
+        r0 = jnp.sum(w * (M[:, 0, 0, :] * re - M[:, 0, 1, :] * im), axis=-1)
+        r1 = jnp.sum(w * (M[:, 1, 0, :] * re - M[:, 1, 1, :] * im), axis=-1)
+        bc = fields["bc"]
+        return (inv_sigma * jnp.where(bc == 0.0, r0, -r1))[:, None]
+
+    # ----- near field -----
+    def near_values(self, fields, rows, cols):
+        """Host assembly of (G, dGdn) entry pairs (ref eval_G/eval_dGdn
+        with SA/fine/plain quadrature selection)."""
+        G, dG = near_entries_laplace(fields, rows, cols, fine_K=self.fine_K)
+        return np.stack([G, dG], axis=1)
+
+    def near_matvec(self, vals, rows, cols, fields, qm, n):
+        """Sparse near-field product: entry selected per target row by
+        its BC flag (ref operator() :273-297)."""
+        bc_rows = fields["bc"][rows]
+        v = jnp.where(bc_rows == 0.0, vals[:, 0], vals[:, 1])
+        return _seg_sum(v * qm[cols], rows, n)[:, None]
+
+    # ----- dense oracle (ref Direct.hpp over panel kernels) -----
+    def dense_matrix(self, fields):
+        """Full dense operator matrix honoring each target's BC flag —
+        O(N^2) host assembly for tests/small problems."""
+        n = len(fields["xyz"])
+        rows = np.repeat(np.arange(n, dtype=np.int64), n)
+        cols = np.tile(np.arange(n, dtype=np.int64), n)
+        G, dG = near_entries_laplace(fields, rows, cols, fine_K=self.fine_K)
+        bc = np.asarray(fields["bc"])[rows]
+        vals = np.where(bc == 0.0, G, dG)
+        return vals.reshape(n, n)
+
+    def eval_exterior(self, fields, charges, targets, layer="G"):
+        """Off-surface evaluation of the single ('G') or double ('dGdn')
+        layer at arbitrary points (the driver's exterior-potential check,
+        LaplaceBEM.cpp:352-371)."""
+        targets = np.asarray(targets, dtype=np.float64)
+        nt = len(targets)
+        ns = len(fields["xyz"])
+        # reuse the entry assembler with virtual target rows
+        virt = {
+            "xyz": np.concatenate([fields["xyz"], targets]),
+            "vertices": np.concatenate(
+                [fields["vertices"], np.zeros((nt, 3, 3))]
+            ),
+            "area": np.concatenate([fields["area"], np.zeros(nt)]),
+            "normal": np.concatenate([fields["normal"], np.zeros((nt, 3))]),
+            "qp_off": np.concatenate(
+                [fields["qp_off"], np.zeros((nt,) + fields["qp_off"].shape[1:])]
+            ),
+            "qw": np.concatenate(
+                [fields["qw"], np.zeros((nt, fields["qw"].shape[1]))]
+            ),
+        }
+        rows = np.repeat(np.arange(ns, ns + nt, dtype=np.int64), ns)
+        cols = np.tile(np.arange(ns, dtype=np.int64), nt)
+        G, dG = near_entries_laplace(virt, rows, cols, fine_K=self.fine_K)
+        vals = G if layer == "G" else dG
+        return (vals.reshape(nt, ns) @ np.asarray(charges)).reshape(nt)

@@ -32,7 +32,7 @@ class UnitKernel:
     def m2l_pair_scale(self, sigma_src):
         return np.ones_like(sigma_src)
 
-    def p2m(self, fields, charges, d_norm, p):
+    def p2m(self, fields, charges, d_norm, inv_sigma, p):
         re = charges.reshape(-1, 1, 1, 1)
         return jnp.concatenate([re, jnp.zeros_like(re)], axis=2)
 

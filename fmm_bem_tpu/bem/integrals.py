@@ -154,7 +154,7 @@ def _quad_G(t, verts, area, qpts, qw, kappa=0.0):
     """K-point quadrature of int G over panels: sum_k w_k A / |t - qp_k|
     (ref LaplaceSphericalBEM::eval_G far branch, :195-203)."""
     d = t[:, None, :] - qpts
-    r = np.maximum(np.sqrt((d * d).sum(-1)), 1e-300)
+    r = np.maximum(np.sqrt((d * d).sum(-1)), 1e-100)
     g = np.exp(-kappa * r) / r if kappa else 1.0 / r
     return (qw * g).sum(1) * area
 
@@ -167,7 +167,7 @@ def _quad_dGdn(t, verts, area, normal, qpts, qw, kappa=0.0):
     r2 = (d * d).sum(-1)
     # guard the q==t case (hit for self rows whose value is later
     # overwritten by the analytic +-2pi)
-    r2 = np.maximum(r2, 1e-300)
+    r2 = np.maximum(r2, 1e-100)
     r = np.sqrt(r2)
     dn = (d * normal[:, None, :]).sum(-1)
     if kappa:

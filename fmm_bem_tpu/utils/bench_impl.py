@@ -1,0 +1,74 @@
+"""Benchmark implementation: Laplace BEM sphere FMM matvec throughput.
+
+North-star metric per BASELINE.md: FMM matvec effective interactions/s
+per chip on the Laplace BEM sphere (interactions = N^2 source-target
+pairs served by the O(N) hierarchical matvec).  The reference publishes
+no numbers (BASELINE.json "published": {}), so the recorded ratio is
+TPU-chip throughput vs this host's CPU on the identical workload.
+
+Run as a module:  python -m fmm_bem_tpu.utils.bench_impl [cpu|default]
+Prints one JSON line {"value": interactions/s, "solve_s": ..., ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def run(backend="default", recursions=6, p=5, iters=10):
+    import jax
+
+    if backend == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from fmm_bem_tpu.bem.panels import make_panels
+    from fmm_bem_tpu.bem.triangulation import unit_sphere
+    from fmm_bem_tpu.config import FMMConfig
+    from fmm_bem_tpu.executor.plan import FmmPlan
+    from fmm_bem_tpu.kernels.laplace_bem import LaplaceBEMKernel
+
+    platform = jax.devices()[0].platform
+    tris = unit_sphere(recursions)
+    fields = make_panels(tris, K=3)
+    n = len(tris)
+
+    t0 = time.time()
+    plan = FmmPlan(
+        LaplaceBEMKernel(K=3),
+        fields,
+        FMMConfig(ncrit=64, dtype="float32", max_p=max(p, 8)),
+    )
+    build_s = time.time() - t0
+
+    q = np.ones(n, dtype=np.float32)
+    t0 = time.time()
+    out = plan.apply(q, p=p)
+    out.block_until_ready()
+    compile_s = time.time() - t0
+
+    # timed loop
+    t0 = time.time()
+    for _ in range(iters):
+        out = plan.apply(q, p=p)
+    out.block_until_ready()
+    dt = (time.time() - t0) / iters
+
+    value = (float(n) * float(n)) / dt
+    return {
+        "backend": platform,
+        "n_panels": n,
+        "p": p,
+        "matvec_s": dt,
+        "build_s": build_s,
+        "compile_s": compile_s,
+        "value": value,
+    }
+
+
+if __name__ == "__main__":
+    backend = sys.argv[1] if len(sys.argv) > 1 else "default"
+    rec = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+    print(json.dumps(run(backend, recursions=rec)))

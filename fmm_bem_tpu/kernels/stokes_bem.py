@@ -1,0 +1,272 @@
+"""Stokes BEM panel kernel: single-layer (stokeslet) and double-layer
+(stresslet) velocity integrals over triangular panels.
+
+TPU-native counterpart of kernel/StokesSphericalBEM.hpp: the expansion
+carries TWO 4-component Tornberg-Greengard sets per box (ncomp = 8) —
+components 0-3 from VELOCITY panels (stokeslet quadrature monopoles, ref
+P2M :416-431) and components 4-7 from TRACTION panels (stresslet
+quadrature dipoles, ref :433-466).  Far-field evaluation picks the set
+and scale by the target's BC: velocity targets read set 0 scaled by
+1/(2 mu), traction targets read set 1 scaled by +0.5 = -3 * -(1/6)
+(ref M2P/L2P :478-529).
+
+Near-field entries are 3x3 blocks assembled on the host:
+  velocity  (ref eval_velocity_integral :261-375):
+      self -> singular single-layer integral (split-Duffy quadrature
+              standing in for the reference's closed-form Fata
+              integrals) / (2 mu)
+      near -> K_fine-point quadrature of (r^2 I + dx dx)/r^3 / (2 mu)
+      far  -> K-point quadrature of the same
+  traction  (ref eval_traction_integral :160-258):
+      self -> 2 pi I
+      near/far -> -3 * quadrature of (dx.n) dx dx / r^5
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fmm_bem_tpu.bem.quadrature import duffy_rule, get_rule
+from fmm_bem_tpu.kernels import harmonics as hm
+from fmm_bem_tpu.kernels.laplace import _to_real_pairs, eval_regular
+from fmm_bem_tpu.kernels.stokes import tornberg_velocity
+
+#: BC flag values (ref StokesSphericalBEM Panel::BC)
+VELOCITY = 0
+TRACTION = 1
+
+
+def _stokeslet_block(dx, r2, eps2=1e-8):
+    """(r^2 I + dx dx)/r^3 for a batch of offsets dx [..., 3]."""
+    inv_r2 = np.where(r2 < eps2, 0.0, 1.0 / np.maximum(r2, 1e-100))
+    inv_r3 = inv_r2 * np.sqrt(inv_r2)
+    eye = np.eye(3)
+    return inv_r3[..., None, None] * (
+        r2[..., None, None] * eye + dx[..., :, None] * dx[..., None, :]
+    )
+
+
+def _stresslet_block(dx, r2, normal, eps2=1e-8):
+    """(dx.n) dx dx / r^5 for offsets dx [..., 3], per-source normal."""
+    inv_r2 = np.where(r2 < eps2, 0.0, 1.0 / np.maximum(r2, 1e-100))
+    inv_r5 = inv_r2 * inv_r2 * np.sqrt(inv_r2)
+    dxdotn = (dx * normal).sum(-1)
+    return (inv_r5 * dxdotn)[..., None, None] * (
+        dx[..., :, None] * dx[..., None, :]
+    )
+
+
+def _self_velocity_integral(verts, x, n_duffy=24):
+    """Singular single-layer integral over a panel containing its own
+    target: split at x into 3 sub-triangles, Duffy-collapse the singular
+    vertex (numerically equivalent role to the reference's Fata
+    closed-form, StokesSphericalBEM.hpp:279-293)."""
+    pts, wts = duffy_rule(n_duffy)
+    out = np.zeros((len(x), 3, 3))
+    v = [verts[:, 0], verts[:, 1], verts[:, 2]]
+    for a, b in ((0, 1), (1, 2), (2, 0)):
+        sub = np.stack([x, v[a], v[b]], axis=1)  # [B, 3, 3]
+        qp = np.einsum("kj,bjd->bkd", pts, sub)
+        area = 0.5 * np.linalg.norm(
+            np.cross(sub[:, 2] - sub[:, 0], sub[:, 1] - sub[:, 0]), axis=1
+        )
+        dx = x[:, None, :] - qp
+        r2 = np.maximum((dx * dx).sum(-1), 1e-100)
+        inv_r3 = 1.0 / (r2 * np.sqrt(r2))
+        eye = np.eye(3)
+        blocks = inv_r3[..., None, None] * (
+            r2[..., None, None] * eye + dx[..., :, None] * dx[..., None, :]
+        )
+        out += area[:, None, None] * np.einsum("k,bkij->bij", wts, blocks)
+    return out
+
+
+def stokes_near_entries(fields, t_idx, s_idx, mu, fine_K=19):
+    """(velocity_block, traction_block) 3x3 entries per (target, source)
+    pair, following the reference's SA/fine/plain selection."""
+    centers = np.asarray(fields["xyz"])
+    verts = np.asarray(fields["vertices"])
+    area = np.asarray(fields["area"])
+    normal = np.asarray(fields["normal"])
+    qp = np.asarray(fields["qp_off"]) + centers[:, None, :]
+    qw = np.asarray(fields["qw"])
+
+    t = centers[t_idx]
+    sv = verts[s_idx]
+    sa = area[s_idx]
+    sn = normal[s_idx]
+
+    dist = np.linalg.norm(t - centers[s_idx], axis=1)
+    self_ = dist < 1e-8
+    near = (np.sqrt(2.0 * sa) / np.maximum(dist, 1e-300) >= 0.5) & ~self_
+
+    def quad_blocks(sel, K_pts, K_wts, kind):
+        qpts = np.einsum("kj,njd->nkd", K_pts, sv[sel])
+        w = K_wts[None, :] * sa[sel][:, None]
+        dx = t[sel][:, None, :] - qpts
+        r2 = (dx * dx).sum(-1)
+        if kind == "vel":
+            blocks = _stokeslet_block(dx, r2)
+        else:
+            blocks = _stresslet_block(dx, r2, sn[sel][:, None, :])
+        return np.einsum("nk,nkij->nij", w, blocks)
+
+    nK = qw.shape[1]
+    Kp, Kw = get_rule(nK)
+    Fp, Fw = get_rule(fine_K)
+
+    vel = np.zeros((len(t_idx), 3, 3))
+    trac = np.zeros((len(t_idx), 3, 3))
+
+    far = ~near & ~self_
+    if far.any():
+        vel[far] = quad_blocks(far, Kp, Kw, "vel")
+        trac[far] = quad_blocks(far, Kp, Kw, "trac")
+    if near.any():
+        vel[near] = quad_blocks(near, Fp, Fw, "vel")
+        trac[near] = quad_blocks(near, Fp, Fw, "trac")
+    if self_.any():
+        vel[self_] = _self_velocity_integral(sv[self_], t[self_])
+        trac[self_] = 2.0 * np.pi * np.eye(3)
+
+    vel = vel / (2.0 * mu)
+    trac = trac * -3.0
+    trac[self_] = 2.0 * np.pi * np.eye(3)  # self overrides the -3 scale
+    return vel, trac
+
+
+class StokesBEMKernel:
+    """Stokes BEM panel kernel (ncomp = 8, 3-vector charges/results)."""
+
+    name = "stokes_bem"
+    ncomp = 8
+    charge_dim = 3
+    result_dim = 3
+    near_sparse = True
+
+    def __init__(self, K=4, fine_K=19, mu=1e-3):
+        self.K = K
+        self.fine_K = fine_K
+        self.mu = mu
+
+    def num_terms(self, p):
+        return hm.num_terms(p)
+
+    def m2m_matrix(self, dr_norm, sigma_ratio, p):
+        return hm.m2m_matrix(dr_norm, sigma_ratio, p)
+
+    def m2l_matrix(self, dr_norm, sigma_ratio, p):
+        return hm.m2l_matrix(dr_norm, sigma_ratio, p)
+
+    def l2l_matrix(self, dr_norm, sigma_ratio, p):
+        return hm.l2l_matrix(dr_norm, sigma_ratio, p)
+
+    def m2l_pair_scale(self, sigma_src):
+        return 1.0 / sigma_src
+
+    # ----- device ops -----
+    def p2m(self, fields, charges, d_norm, inv_sigma, p):
+        """Quadrature-point stokeslets (VELOCITY panels, comps 0-3) and
+        stresslets (TRACTION panels, comps 4-7); ref P2M :391-470."""
+        qp_n = fields["qp_off"] * inv_sigma[:, None, None] + d_norm[:, None, :]
+        qp_g = fields["qp_off"] + fields["xyz"][:, None, :]  # global coords
+        w = fields["qw"] * fields["area"][:, None]  # [N, K]
+        f = charges[:, None, :] * w[:, :, None]  # [N, K, 3] area*gw*q
+        nv = jnp.broadcast_to(fields["normal"][:, None, :], qp_n.shape)
+
+        y, dy_n = jax.jvp(lambda z: eval_regular(z, p), (qp_n,), (nv,))
+        yc = jnp.conj(y)  # [N, K, T]
+
+        # stokeslet set (comps 0-3)
+        fdotx = jnp.sum(f * qp_g, axis=-1)  # [N, K]
+        st = jnp.stack([f[..., 0], f[..., 1], f[..., 2], fdotx], axis=2)
+        m_vel = jnp.sum(st[..., None] * yc[:, :, None, :], axis=1)  # [N,4,T]
+
+        # stresslet set (comps 4-7): rdotn = (grad conj R).n_hat,
+        # rdotg = (grad conj R).g2 with g2 = area*gw*q (ref :447-466)
+        qb = jnp.broadcast_to(charges[:, None, :], qp_n.shape)
+        _, dy_q = jax.jvp(lambda z: eval_regular(z, p), (qp_n,), (qb,))
+        rdotn = jnp.conj(dy_n) * inv_sigma[:, None, None]  # [N, K, T]
+        rdotg = jnp.conj(dy_q) * (w * inv_sigma[:, None])[..., None]
+        xdotg = jnp.sum(qp_g * f, axis=-1)  # [N, K] = qp . g2
+        ndotx = jnp.sum(fields["normal"][:, None, :] * qp_g, axis=-1)
+
+        def comp(i):
+            return jnp.sum(
+                rdotn * f[..., i : i + 1] + rdotg * nv[..., i : i + 1], axis=1
+            )
+
+        m7 = jnp.sum(rdotn * xdotg[..., None] + rdotg * ndotx[..., None], axis=1)
+        mc = jnp.stack(
+            [
+                m_vel[:, 0],
+                m_vel[:, 1],
+                m_vel[:, 2],
+                m_vel[:, 3],
+                comp(0),
+                comp(1),
+                comp(2),
+                m7,
+            ],
+            axis=1,
+        )
+
+        bc = fields["bc"]
+        sel = jnp.concatenate(
+            [jnp.repeat((1.0 - bc)[:, None], 4, 1), jnp.repeat(bc[:, None], 4, 1)],
+            axis=1,
+        )
+        return _to_real_pairs(mc * sel[..., None])
+
+    def _eval_set(self, fields, E, d_norm, inv_sigma, p, singular):
+        """Target-BC-selected Tornberg evaluation of the two sets."""
+        t = fields["xyz"]
+        bc = fields["bc"]
+
+        def one(Eb, d, isig, tg):
+            u_vel = tornberg_velocity(Eb[:4], d, isig, tg, p, singular, 1.0)
+            u_trac = tornberg_velocity(Eb[4:], d, isig, tg, p, singular, 1.0)
+            return u_vel, u_trac
+
+        u_vel, u_trac = jax.vmap(one)(E, d_norm, inv_sigma, t)
+        scale_vel = 1.0 / (2.0 * self.mu)
+        return jnp.where(
+            (bc == VELOCITY)[:, None], scale_vel * u_vel, 0.5 * u_trac
+        )
+
+    def l2p(self, fields, L, d_norm, inv_sigma, p):
+        return self._eval_set(fields, L, d_norm, inv_sigma, p, False)
+
+    def m2p(self, fields, M, d_norm, inv_sigma, p):
+        return self._eval_set(fields, M, d_norm, inv_sigma, p, True)
+
+    # ----- near field -----
+    def near_values(self, fields, rows, cols):
+        vel, trac = stokes_near_entries(
+            fields, rows, cols, self.mu, fine_K=self.fine_K
+        )
+        return np.stack([vel, trac], axis=1)  # [nnz, 2, 3, 3]
+
+    def near_matvec(self, vals, rows, cols, fields, qm, n):
+        bc_rows = fields["bc"][rows]
+        blocks = jnp.where(
+            (bc_rows == VELOCITY)[:, None, None], vals[:, 0], vals[:, 1]
+        )
+        contrib = jnp.einsum("eij,ej->ei", blocks, qm[cols])
+        return jax.ops.segment_sum(contrib, rows, num_segments=n)
+
+    # ----- dense oracle -----
+    def dense_matrix(self, fields):
+        """[3N, 3N] dense operator honoring target BC flags."""
+        n = len(fields["xyz"])
+        rows = np.repeat(np.arange(n, dtype=np.int64), n)
+        cols = np.tile(np.arange(n, dtype=np.int64), n)
+        vel, trac = stokes_near_entries(
+            fields, rows, cols, self.mu, fine_K=self.fine_K
+        )
+        bc = np.asarray(fields["bc"])[rows]
+        blocks = np.where((bc == VELOCITY)[:, None, None], vel, trac)
+        A = blocks.reshape(n, n, 3, 3).transpose(0, 2, 1, 3).reshape(3 * n, 3 * n)
+        return A

@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Stokes BEM driver: flow past a unit sphere or red blood cells.
+
+TPU-native counterpart of examples/StokesBEM.cpp (flags :146-207,
+workflow :208-412): solve for the surface traction given the boundary
+velocity u = (1,0,0); check the RHS against the 4*pi double-layer
+identity and the drag force against Stokes law 6*pi*mu.
+
+Usage:
+  python examples/stokes_bem.py -recursions 3 -p 8 -k 4 -kfine 19
+         -mu 1e-3 [-rbc] [-cells N] [-pmin 5] [-fgmres]
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("-recursions", type=int, default=3)
+    ap.add_argument("-p", type=int, default=8)
+    ap.add_argument("-k", type=int, default=4)
+    ap.add_argument("-kfine", type=int, default=19)
+    ap.add_argument("-mu", type=float, default=1e-3)
+    ap.add_argument("-pmin", type=int, default=5)
+    ap.add_argument("-theta", type=float, default=0.5)
+    ap.add_argument("-ncrit", type=int, default=64)
+    ap.add_argument("-solver_tol", type=float, default=1e-5)
+    ap.add_argument("-max_iters", type=int, default=100)
+    ap.add_argument("-fixed_p", action="store_true")
+    ap.add_argument("-fgmres", action="store_true")
+    ap.add_argument("-rbc", action="store_true", help="red blood cell geometry")
+    ap.add_argument("-cells", type=int, default=1)
+    ap.add_argument("-dtype", default="float64")
+    ap.add_argument("-out_prefix", default=None,
+                    help="write out.face/out.vert/out.charge dumps")
+    args = ap.parse_args()
+
+    from fmm_bem_tpu.bem.panels import make_panels
+    from fmm_bem_tpu.bem.triangulation import (
+        multiple_red_blood_cells,
+        red_blood_cell,
+        save_vert_face,
+        unit_sphere,
+    )
+    from fmm_bem_tpu.config import FMMConfig, SolverConfig
+    from fmm_bem_tpu.executor.plan import FmmPlan
+    from fmm_bem_tpu.kernels.stokes_bem import StokesBEMKernel
+    from fmm_bem_tpu.solver.gmres import fgmres, gmres
+
+    if args.rbc:
+        if args.cells > 1:
+            tris = multiple_red_blood_cells(args.cells, args.recursions)
+        else:
+            tris = red_blood_cell(args.recursions)
+    else:
+        tris = unit_sphere(args.recursions)
+    fields = make_panels(tris, K=args.k)
+    n = len(tris)
+    print(f"initialised {n} panels")
+
+    kern = StokesBEMKernel(K=args.k, fine_K=args.kfine, mu=args.mu)
+    cfg = FMMConfig(
+        theta=args.theta, ncrit=args.ncrit, max_p=max(args.p, 10),
+        dtype=args.dtype,
+    )
+    t0 = time.time()
+    plan = FmmPlan(kern, fields, cfg)
+    print(f"plan built in {time.time()-t0:.3f}s")
+
+    u = np.tile([1.0, 0.0, 0.0], (n, 1))
+    b = np.asarray(plan.apply_flipped_bc(u, p=args.p))
+    if not args.rbc:
+        rhs_err = np.abs(b[:, 0] - 4 * np.pi).mean() / (4 * np.pi)
+        print(f"rhs error: {rhs_err:.4e}")
+        b = np.tile([4 * np.pi, 0.0, 0.0], (n, 1))  # ref StokesBEM.cpp:276
+
+    scfg = SolverConfig(
+        residual=args.solver_tol,
+        max_iters=args.max_iters,
+        restart=args.max_iters,
+        max_p=args.p,
+        p_min=args.pmin,
+        variable_p=not args.fixed_p,
+    )
+    solve = fgmres if args.fgmres else gmres
+
+    def matvec(x, p):
+        return plan.apply(x.reshape(n, 3), p=p).reshape(-1)
+
+    t0 = time.time()
+    x, info = solve(
+        matvec, b.reshape(-1), config=scfg,
+        p_fixed=args.p if args.fixed_p else None, verbose=True,
+    )
+    print(f"\nTIMING:\n\tsolve : {time.time()-t0:.4e}s "
+          f"({info.iterations} its, residual {info.residual:.3e})")
+
+    t_sol = np.asarray(x).reshape(n, 3)
+    area = np.asarray(fields["area"])
+    fx, fy, fz = (t_sol * area[:, None]).sum(axis=0)
+    if not args.rbc:
+        exact = 6 * np.pi * args.mu
+        print(f"\nFx: {fx:.5f}, analytical: {exact:.4g}")
+        print(f"error on a sphere: {abs(fx-exact)/exact:.5e}")
+        print(f"area: {area.sum():.5f} vs {4*np.pi:.5f}")
+    else:
+        print(f"\ntotal force: ({fx:.5g}, {fy:.5g}, {fz:.5g})")
+
+    if args.out_prefix:
+        save_vert_face(tris, f"{args.out_prefix}.vert", f"{args.out_prefix}.face")
+        np.savetxt(f"{args.out_prefix}.charge", t_sol)
+
+
+if __name__ == "__main__":
+    main()

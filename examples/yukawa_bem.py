@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Yukawa (screened-Laplace) BEM driver on the unit sphere.
+
+Counterpart of examples/YukawaBEM.cpp — which is stale/unbuildable in
+the reference (SURVEY.md §2.7); this restores the workload: first-kind
+screened boundary integral equation solved with relaxed GMRES.
+
+Usage: python examples/yukawa_bem.py -recursions 3 -p 6 -k 3 -kappa 0.125
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("-recursions", type=int, default=3)
+    ap.add_argument("-p", type=int, default=6)
+    ap.add_argument("-k", type=int, default=3)
+    ap.add_argument("-kappa", type=float, default=0.125)
+    ap.add_argument("-theta", type=float, default=0.5)
+    ap.add_argument("-ncrit", type=int, default=64)
+    ap.add_argument("-solver_tol", type=float, default=1e-5)
+    ap.add_argument("-max_iters", type=int, default=500)
+    ap.add_argument("-fixed_p", action="store_true")
+    ap.add_argument("-dtype", default="float64")
+    args = ap.parse_args()
+
+    from fmm_bem_tpu.bem.panels import make_panels
+    from fmm_bem_tpu.bem.triangulation import unit_sphere
+    from fmm_bem_tpu.config import FMMConfig, SolverConfig
+    from fmm_bem_tpu.executor.plan import FmmPlan
+    from fmm_bem_tpu.kernels.yukawa_bem import YukawaBEMKernel
+    from fmm_bem_tpu.solver.gmres import gmres
+
+    tris = unit_sphere(args.recursions)
+    fields = make_panels(tris, K=args.k)
+    n = len(tris)
+    print(f"initialised {n} panels, kappa = {args.kappa}")
+
+    kern = YukawaBEMKernel(K=args.k, kappa=args.kappa)
+    cfg = FMMConfig(
+        theta=args.theta, ncrit=args.ncrit, max_p=max(args.p, 8),
+        dtype=args.dtype,
+    )
+    t0 = time.time()
+    plan = FmmPlan(kern, fields, cfg)
+    print(f"plan built in {time.time()-t0:.3f}s")
+
+    phi = np.ones(n)
+    b = np.asarray(plan.apply_flipped_bc(phi, p=cfg.max_p)[:, 0])
+
+    scfg = SolverConfig(
+        residual=args.solver_tol,
+        max_iters=args.max_iters,
+        restart=args.max_iters,
+        max_p=cfg.max_p,
+        variable_p=not args.fixed_p,
+    )
+    t0 = time.time()
+    x, info = gmres(
+        lambda v, p: plan.apply(v, p=p)[:, 0],
+        b,
+        config=scfg,
+        p_fixed=args.p if args.fixed_p else None,
+        verbose=True,
+    )
+    print(f"\nTIMING:\n\tsolve : {time.time()-t0:.4e}s "
+          f"({info.iterations} its, residual {info.residual:.3e})")
+
+    # analytic: for the unit sphere with phi = 1, the screened
+    # first-kind solution is dphi/dn = -(1 + kappa) * ... the discrete
+    # solve is checked against the dense operator instead
+    x = np.asarray(x)
+    print(f"solution mean dphi/dn: {x.mean():.6f}  std {x.std():.2e}")
+
+
+if __name__ == "__main__":
+    main()

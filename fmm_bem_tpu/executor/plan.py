@@ -10,7 +10,7 @@ batched XLA ops:
 
     P2M   segment-sum of per-body harmonic contributions into leaves
     M2M   8 octant-class matmuls per level, bottom-up
-    M2L   one dense [pairs, 2T] x [2T, 2T] matmul per translation class
+    M2L   one dense [pairs, W] x [W, W] matmul per translation class
           (scale-normalised classes are shared across levels), then one
           segment-sum into target locals
     L2L   8 octant-class matmuls per level, top-down
@@ -51,7 +51,7 @@ class _ClassedPairs:
     tgt: list
     #: per-class per-pair kernel scale factor (e.g. 1/sigma_src)
     scale: list
-    #: stacked real translation matrices [ncls, 2, Tmax, 2, Tmax]
+    #: stacked real translation matrices [ncls, W, W]
     mats: np.ndarray
 
 
@@ -124,10 +124,12 @@ class FmmPlan:
         self.body_inv_sigma = 1.0 / sigma_b
         self.body_leaf_box = t.body_leaf.astype(np.int32)
 
-        # ---- M2M / L2L octant classes (scale-normalised: 8 matrices total
-        # instead of per-level tables; cf. ref serial per-box M2M,
-        # EvalInteractionLazy.hpp:262-267)
-        self.m2m_levels = []  # [(class_id -> (child_ids, parent_ids))] per level
+        # ---- M2M / L2L octant classes.  For scale-invariant kernels
+        # (Laplace family) the 8 octant matrices are shared across all
+        # levels; otherwise (e.g. Yukawa, whose screened operators are
+        # level-dependent) one set of 8 is built per level.
+        scale_inv = getattr(kern, "scale_invariant", True)
+        self.m2m_levels = []  # [(class_id -> (child_ids, parent_ids, mat_idx))]
         child_boxes = np.arange(1, t.num_boxes, dtype=np.int32)
         if len(child_boxes):
             par = t.box_parent[child_boxes]
@@ -137,8 +139,9 @@ class FmmPlan:
                 + 2 * (off[:, 1] > 0).astype(np.int32)
                 + 4 * (off[:, 2] > 0).astype(np.int32)
             )
-        m2m_mats = [None] * 8
-        l2l_mats = [None] * 8
+        m2m_mats = []
+        l2l_mats = []
+        mat_key = {}  # (lvl-or-None, octant) -> index into mats
         for lvl in range(1, t.num_levels):
             lo, hi = t.level_offset[lvl], t.level_offset[lvl + 1]
             ids = child_boxes[(child_boxes >= lo) & (child_boxes < hi)]
@@ -148,27 +151,30 @@ class FmmPlan:
                 if len(sel) == 0:
                     per_class.append(None)
                     continue
-                if m2m_mats[c] is None:
+                key = (None if scale_inv else lvl, c)
+                if key not in mat_key:
                     b = int(sel[0])
                     pb = int(t.box_parent[b])
                     sig_c = t.box_radius[b]
                     sig_p = t.box_radius[pb]
-                    drm = (t.box_center[pb] - t.box_center[b]) / sig_c
-                    m2m_mats[c] = kern.m2m_matrix(drm, sig_c / sig_p, pmax)
-                    drl = (t.box_center[b] - t.box_center[pb]) / sig_c
-                    l2l_mats[c] = kern.l2l_matrix(drl, sig_c / sig_p, pmax)
+                    drm = t.box_center[pb] - t.box_center[b]
+                    mat_key[key] = len(m2m_mats)
+                    m2m_mats.append(kern.m2m_matrix(drm, sig_c, sig_p, pmax))
+                    l2l_mats.append(kern.l2l_matrix(-drm, sig_p, sig_c, pmax))
                 per_class.append(
-                    (sel.astype(np.int32), t.box_parent[sel].astype(np.int32))
+                    (
+                        sel.astype(np.int32),
+                        t.box_parent[sel].astype(np.int32),
+                        mat_key[key],
+                    )
                 )
             self.m2m_levels.append(per_class)
-        rT = 2 * kern.num_terms(pmax)
-        eye = np.eye(rT)
-        self.m2m_mats = np.stack(
-            [m if m is not None else eye for m in m2m_mats]
-        ).reshape(8, 2, rT // 2, 2, rT // 2)
-        self.l2l_mats = np.stack(
-            [m if m is not None else eye for m in l2l_mats]
-        ).reshape(8, 2, rT // 2, 2, rT // 2)
+        W = kern.width(pmax)
+        if not m2m_mats:
+            m2m_mats = [np.eye(W)]
+            l2l_mats = [np.eye(W)]
+        self.m2m_mats = np.stack(m2m_mats)
+        self.l2l_mats = np.stack(l2l_mats)
 
         # ---- M2L translation classes + skew fallback to M2P
         self._build_m2l_classes()
@@ -234,6 +240,7 @@ class FmmPlan:
             sig_s = np.zeros(0)
             sig_t = sig_s
 
+        scale_inv = getattr(kern, "scale_invariant", True)
         src_list, tgt_list, scale_list, mats = [], [], [], []
         if len(s):
             offn = (t.box_center[tg] - t.box_center[s]) / sig_s[:, None]
@@ -242,27 +249,29 @@ class FmmPlan:
                 - t.box_level[tg].astype(np.int64)
                 + 8
             )
+            # non-scale-invariant kernels (Yukawa) need distinct
+            # matrices per absolute level, not just per level gap
+            lkey = dlvl if scale_inv else (
+                dlvl * 16 + t.box_level[s].astype(np.int64)
+            )
             ki = np.round(offn * 64.0).astype(np.int64) + 4096
             assert (ki >= 0).all() and (ki < 8192).all(), "M2L offset overflow"
-            key = ((dlvl * 8192 + ki[:, 0]) * 8192 + ki[:, 1]) * 8192 + ki[:, 2]
+            key = ((lkey * 8192 + ki[:, 0]) * 8192 + ki[:, 1]) * 8192 + ki[:, 2]
             uniq, inv = np.unique(key, return_inverse=True)
             order = np.argsort(inv, kind="stable")
             bounds = np.searchsorted(inv[order], np.arange(len(uniq) + 1))
             for ci in range(len(uniq)):
                 sel = order[bounds[ci] : bounds[ci + 1]]
                 rep = sel[0]
-                drm = offn[rep]
-                ratio = sig_t[rep] / sig_s[rep]
-                mats.append(kern.m2l_matrix(drm, ratio, pmax))
+                drm = t.box_center[tg[rep]] - t.box_center[s[rep]]
+                mats.append(
+                    kern.m2l_matrix(drm, sig_s[rep], sig_t[rep], pmax)
+                )
                 src_list.append(s[sel].astype(np.int32))
                 tgt_list.append(tg[sel].astype(np.int32))
                 scale_list.append(kern.m2l_pair_scale(sig_s[sel]))
-        rT = 2 * kern.num_terms(pmax)
-        mats_arr = (
-            np.stack(mats).reshape(len(mats), 2, rT // 2, 2, rT // 2)
-            if mats
-            else np.zeros((0, 2, rT // 2, 2, rT // 2))
-        )
+        W = kern.width(pmax)
+        mats_arr = np.stack(mats) if mats else np.zeros((0, W, W))
         self.m2l_classes = _ClassedPairs(
             src=src_list, tgt=tgt_list, scale=scale_list, mats=mats_arr
         )
@@ -283,11 +292,10 @@ class FmmPlan:
     # device data per p-tier
     # ------------------------------------------------------------------
     def _slice_mats(self, mats, p):
-        """[.., 2, Tmax, 2, Tmax] -> [.., 2T(p), 2T(p)] real."""
-        T = self.kernel.num_terms(p)
-        m = mats[..., :, :T, :, :T]
-        sh = m.shape
-        return m.reshape(sh[:-4] + (2 * T, 2 * T))
+        """Prefix-truncate translation matrices to width(p) (degree-
+        ordered layouts make lower p a prefix slice)."""
+        W = self.kernel.width(p)
+        return mats[..., :W, :W]
 
     def _device_data(self, p):
         cfg = self.config
@@ -336,7 +344,7 @@ class FmmPlan:
     def _matvec(self, d, fields, q, p):
         kern = self.kernel
         t = self.tree
-        T = kern.num_terms(p)
+        W = kern.width(p)
         nbox = t.num_boxes
         nl = len(self.leaf_ids)
         K = self.leaf_pad
@@ -348,7 +356,7 @@ class FmmPlan:
 
         # ---- P2M (ref EvalInteractionLazy.hpp:254-260, batched)
         contrib = kern.p2m(d["fields"], qm, d["body_dnorm"], d["body_inv_sigma"], p)
-        M = _seg_sum(contrib, d["body_leaf_box"], nbox)  # [B, ncomp, 2, T]
+        M = _seg_sum(contrib, d["body_leaf_box"], nbox)  # [B, ncomp, W]
         ncomp = M.shape[1]
 
         # ---- M2M bottom-up (level-synchronous octant-class matmuls;
@@ -358,12 +366,12 @@ class FmmPlan:
             for c in range(8):
                 if per_class[c] is None:
                     continue
-                child_np, parent_np = per_class[c]
+                child_np, parent_np, mi = per_class[c]
                 ch = jnp.asarray(child_np)
                 pa = jnp.asarray(parent_np)
-                mc = M[ch].reshape(len(child_np) * ncomp, 2 * T)
-                out = (mc @ d["m2m_mats"][c].T).reshape(
-                    len(child_np), ncomp, 2, T
+                mc = M[ch].reshape(len(child_np) * ncomp, W)
+                out = (mc @ d["m2m_mats"][mi].T).reshape(
+                    len(child_np), ncomp, W
                 )
                 M = M.at[pa].add(out)
 
@@ -377,9 +385,9 @@ class FmmPlan:
             for ci in range(len(self.m2l_classes.src)):
                 sidx = d["m2l_src"][ci]
                 npair = sidx.shape[0]
-                ms = M[sidx].reshape(npair * ncomp, 2 * T)
-                out = (ms @ d["m2l_mats"][ci].T).reshape(npair, ncomp, 2, T)
-                out = out * d["m2l_scale"][ci][:, None, None, None]
+                ms = M[sidx].reshape(npair * ncomp, W)
+                out = (ms @ d["m2l_mats"][ci].T).reshape(npair, ncomp, W)
+                out = out * d["m2l_scale"][ci][:, None, None]
                 Lparts.append(out)
                 tgts.append(d["m2l_tgt"][ci])
             Lall = jnp.concatenate(Lparts, axis=0)
@@ -395,12 +403,12 @@ class FmmPlan:
                 for c in range(8):
                     if per_class[c] is None:
                         continue
-                    child_np, parent_np = per_class[c]
+                    child_np, parent_np, mi = per_class[c]
                     ch = jnp.asarray(child_np)
                     pa = jnp.asarray(parent_np)
-                    lp = L[pa].reshape(len(parent_np) * ncomp, 2 * T)
-                    out = (lp @ d["l2l_mats"][c].T).reshape(
-                        len(child_np), ncomp, 2, T
+                    lp = L[pa].reshape(len(parent_np) * ncomp, W)
+                    out = (lp @ d["l2l_mats"][mi].T).reshape(
+                        len(child_np), ncomp, W
                     )
                     L = L.at[ch].add(out)
 
@@ -489,6 +497,8 @@ class FmmPlan:
         (LaplaceBEM.cpp:218-232) with a pure input change.
         """
         p = int(p if p is not None else self.config.max_p)
+        # the plan's buffers/matrices are allocated at config.max_p
+        p = min(p, self.config.max_p)
         if p not in self._apply_cache:
             d = self._device_data(p)
 

@@ -303,67 +303,69 @@ def _l2l_coeffs(p):
 
 
 # ---------------------------------------------------------------------------
-# real [2T, 2T] matrix assembly
+# real matrix assembly — INTERLEAVED layout [re_0, im_0, re_1, im_1, ...]
+# with coefficients ordered by degree, so truncating to a lower p is a
+# prefix slice of both expansions and matrices
+
+
+def real_width(p: int) -> int:
+    """Real slots per expansion component: 2 * num_terms."""
+    return 2 * num_terms(p)
 
 
 def _real_form(T, Tc):
-    """Real matrix of the real-linear map L = T @ M + Tc @ conj(M).
+    """Real matrix of the real-linear map L = T @ M + Tc @ conj(M), in
+    interleaved (re, im) layout."""
+    n = T.shape[0]
+    m = T.shape[1]
+    R = np.zeros((2 * n, 2 * m))
+    R[0::2, 0::2] = T.real + Tc.real
+    R[0::2, 1::2] = -T.imag + Tc.imag
+    R[1::2, 0::2] = T.imag + Tc.imag
+    R[1::2, 1::2] = T.real - Tc.real
+    return R
 
-    Layout: vectors are [re(0..T-1), im(0..T-1)]; slicing to a lower p is
-    done blockwise on each half.
-    """
-    return np.block(
-        [
-            [T.real + Tc.real, -T.imag + Tc.imag],
-            [T.imag + Tc.imag, T.real - Tc.real],
-        ]
-    )
+
+def _interleave_scale(s):
+    """Duplicate a per-term scale vector to the interleaved layout."""
+    return np.repeat(s, 2)
 
 
-def m2m_matrix(dr_norm, sigma_ratio, p):
-    """Scale-normalised M2M: hat-M_target = mat @ hat-M_source.
-
-    ``dr_norm`` = (target_center - source_center)/sigma_source;
-    ``sigma_ratio`` = sigma_source / sigma_target (=1/2 for octree).
-    """
+def m2m_matrix(dr, sigma_src, sigma_tgt, p):
+    """Scale-normalised M2M: hat-M_target = mat @ hat-M_source, with
+    hat-M_n = M_n / sigma^n.  ``dr`` = target_center - source_center
+    (physical)."""
     c1, idx1, c2, idx2 = _m2m_coeffs(p)
-    R = np.conj(eval_regular_full(np.asarray(dr_norm, dtype=np.float64), p))
+    drn = np.asarray(dr, dtype=np.float64) / sigma_src
+    R = np.conj(eval_regular_full(drn, p))
     T = c1 * R[idx1]
     Tc = c2 * R[idx2]
     j = term_degrees(p).astype(np.float64)
-    scale = sigma_ratio ** j  # (sigma_s/sigma_t)^j applied per target row
-    M = _real_form(T, Tc)
-    return M * np.concatenate([scale, scale])[:, None]
+    scale = (sigma_src / sigma_tgt) ** j  # per target row
+    return _real_form(T, Tc) * _interleave_scale(scale)[:, None]
 
 
-def m2l_matrix(dr_norm, sigma_ratio, p):
+def m2l_matrix(dr, sigma_src, sigma_tgt, p):
     """Scale-normalised M2L *without* the overall 1/sigma_source factor
-    (applied per pair at execution): sigma_s * hat-L contribution.
-
-    ``dr_norm`` = (target_center - source_center)/sigma_source;
-    ``sigma_ratio`` = sigma_target / sigma_source.
-    """
+    (applied per pair at execution): sigma_s * hat-L contribution."""
     Cp, idxp, Cc, idxc, _ = _m2l_coeffs(p)
-    S = eval_singular_full(np.asarray(dr_norm, dtype=np.float64), 2 * p)
+    drn = np.asarray(dr, dtype=np.float64) / sigma_src
+    S = eval_singular_full(drn, 2 * p)
     T = Cp * S[idxp]
     Tc = Cc * S[idxc]
     j = term_degrees(p).astype(np.float64)
-    scale = sigma_ratio ** j  # (sigma_t/sigma_s)^j per target row
-    M = _real_form(T, Tc)
-    return M * np.concatenate([scale, scale])[:, None]
+    scale = (sigma_tgt / sigma_src) ** j  # per target row
+    return _real_form(T, Tc) * _interleave_scale(scale)[:, None]
 
 
-def l2l_matrix(dr_norm, sigma_ratio, p):
-    """Scale-normalised L2L: hat-L_target = mat @ hat-L_source.
-
-    ``dr_norm`` = (target_center - source_center)/sigma_target;
-    ``sigma_ratio`` = sigma_target / sigma_source (=1/2 for octree).
-    """
+def l2l_matrix(dr, sigma_src, sigma_tgt, p):
+    """Scale-normalised L2L: hat-L_target = mat @ hat-L_source, with
+    hat-L_n = L_n * sigma^n."""
     c1, idx1, c2, idx2 = _l2l_coeffs(p)
-    R = eval_regular_full(np.asarray(dr_norm, dtype=np.float64), p)
+    drn = np.asarray(dr, dtype=np.float64) / sigma_tgt
+    R = eval_regular_full(drn, p)
     T = c1 * R[idx1]
     Tc = c2 * R[idx2]
     n = term_degrees(p).astype(np.float64)
-    scale = sigma_ratio ** n  # (sigma_t/sigma_s)^n per source column
-    M = _real_form(T, Tc)
-    return M * np.concatenate([scale, scale])[None, :]
+    scale = (sigma_tgt / sigma_src) ** n  # per source column
+    return _real_form(T, Tc) * _interleave_scale(scale)[None, :]

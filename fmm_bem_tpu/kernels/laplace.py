@@ -76,9 +76,24 @@ def eval_singular(d, p, eps=0.0):
     return jnp.stack(cols, axis=-1)
 
 
-def _to_real_pairs(c):
-    """complex [..., T] -> real [..., 2, T] (re/im stacked)."""
-    return jnp.stack([jnp.real(c), jnp.imag(c)], axis=-2)
+def to_interleaved(c):
+    """complex [..., T] -> real [..., 2T] interleaved (re_0, im_0, ...).
+
+    Coefficients are degree-ordered, so truncating to a lower p is a
+    prefix slice — the property the per-p jit tiers rely on.
+    """
+    return jnp.stack([jnp.real(c), jnp.imag(c)], axis=-1).reshape(
+        c.shape[:-1] + (2 * c.shape[-1],)
+    )
+
+
+def re_part(E):
+    """Interleaved real view [..., 2T] -> re [..., T]."""
+    return E[..., 0::2]
+
+
+def im_part(E):
+    return E[..., 1::2]
 
 
 class LaplaceKernel:
@@ -92,22 +107,26 @@ class LaplaceKernel:
     ncomp = 1      # expansion components per box
     charge_dim = 1
     result_dim = 4
+    #: translation operators depend only on normalised offsets ->
+    #: octant/offset classes are shared across levels
+    scale_invariant = True
     #: self-interaction exclusion threshold on R^2 (ref :158)
     eps2 = 1e-8
 
     # ----- expansion layout -----
-    def num_terms(self, p):
-        return hm.num_terms(p)
+    def width(self, p):
+        """Real slots per expansion component."""
+        return hm.real_width(p)
 
-    # ----- host-side translation matrices (numpy) -----
-    def m2m_matrix(self, dr_norm, sigma_ratio, p):
-        return hm.m2m_matrix(dr_norm, sigma_ratio, p)
+    # ----- host-side translation matrices (numpy, physical args) -----
+    def m2m_matrix(self, dr, sigma_src, sigma_tgt, p):
+        return hm.m2m_matrix(dr, sigma_src, sigma_tgt, p)
 
-    def m2l_matrix(self, dr_norm, sigma_ratio, p):
-        return hm.m2l_matrix(dr_norm, sigma_ratio, p)
+    def m2l_matrix(self, dr, sigma_src, sigma_tgt, p):
+        return hm.m2l_matrix(dr, sigma_src, sigma_tgt, p)
 
-    def l2l_matrix(self, dr_norm, sigma_ratio, p):
-        return hm.l2l_matrix(dr_norm, sigma_ratio, p)
+    def l2l_matrix(self, dr, sigma_src, sigma_tgt, p):
+        return hm.l2l_matrix(dr, sigma_src, sigma_tgt, p)
 
     def m2l_pair_scale(self, sigma_src):
         """Per-pair factor applied to the class-matrix product (the
@@ -125,13 +144,13 @@ class LaplaceKernel:
         del src, inv_sigma  # points carry no extra fields
         y = jnp.conj(eval_regular(d_norm, p))
         mc = charges[..., None] * y
-        return _to_real_pairs(mc)[..., None, :, :]
+        return to_interleaved(mc)[..., None, :]
 
     def _l2p_potential(self, L, d_norm, p):
-        """phi at one normalised offset from a real-pair local expansion."""
+        """phi at one normalised offset from an interleaved local expansion."""
         y = eval_regular(d_norm, p)
         w = jnp.asarray(hm.term_weights(p), dtype=L.dtype)
-        return jnp.sum(w * (L[..., 0, :] * jnp.real(y) - L[..., 1, :] * jnp.imag(y)))
+        return jnp.sum(w * (re_part(L) * jnp.real(y) - im_part(L) * jnp.imag(y)))
 
     def l2p(self, tgt, L, d_norm, inv_sigma, p):
         """Potential + force at targets from their leaf's local expansion.
@@ -153,7 +172,7 @@ class LaplaceKernel:
     def _m2p_potential(self, M, d_norm, p):
         s = eval_singular(d_norm, p)
         w = jnp.asarray(hm.term_weights(p), dtype=M.dtype)
-        return jnp.sum(w * (M[..., 0, :] * jnp.real(s) - M[..., 1, :] * jnp.imag(s)))
+        return jnp.sum(w * (re_part(M) * jnp.real(s) - im_part(M) * jnp.imag(s)))
 
     def m2p(self, tgt, M, d_norm, inv_sigma, p):
         """Treecode far-field evaluation (ref M2P :340-368): the physical

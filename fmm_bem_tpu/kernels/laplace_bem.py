@@ -25,9 +25,11 @@ import numpy as np
 from fmm_bem_tpu.bem.integrals import near_entries_laplace
 from fmm_bem_tpu.kernels import harmonics as hm
 from fmm_bem_tpu.kernels.laplace import (
-    _to_real_pairs,
     eval_regular,
     eval_singular,
+    im_part,
+    re_part,
+    to_interleaved,
 )
 
 
@@ -48,18 +50,20 @@ class LaplaceBEMKernel:
         self.K = K
         self.fine_K = fine_K
 
+    scale_invariant = True
+
     # ----- expansion layout / host matrices: shared with the point kernel
-    def num_terms(self, p):
-        return hm.num_terms(p)
+    def width(self, p):
+        return hm.real_width(p)
 
-    def m2m_matrix(self, dr_norm, sigma_ratio, p):
-        return hm.m2m_matrix(dr_norm, sigma_ratio, p)
+    def m2m_matrix(self, dr, sigma_src, sigma_tgt, p):
+        return hm.m2m_matrix(dr, sigma_src, sigma_tgt, p)
 
-    def m2l_matrix(self, dr_norm, sigma_ratio, p):
-        return hm.m2l_matrix(dr_norm, sigma_ratio, p)
+    def m2l_matrix(self, dr, sigma_src, sigma_tgt, p):
+        return hm.m2l_matrix(dr, sigma_src, sigma_tgt, p)
 
-    def l2l_matrix(self, dr_norm, sigma_ratio, p):
-        return hm.l2l_matrix(dr_norm, sigma_ratio, p)
+    def l2l_matrix(self, dr, sigma_src, sigma_tgt, p):
+        return hm.l2l_matrix(dr, sigma_src, sigma_tgt, p)
 
     def m2l_pair_scale(self, sigma_src):
         return 1.0 / sigma_src
@@ -86,8 +90,8 @@ class LaplaceBEMKernel:
         m0 = m0 * (1.0 - bc)[:, None]
         m1 = m1 * bc[:, None]
         return jnp.stack(
-            [_to_real_pairs(m0), _to_real_pairs(m1)], axis=1
-        )  # [N, 2(comp), 2(re/im), T]
+            [to_interleaved(m0), to_interleaved(m1)], axis=1
+        )  # [N, 2(comp), W]
 
     def l2p(self, fields, L, d_norm, inv_sigma, p):
         """Evaluate at panel centers: +r0 for POTENTIAL targets, -r1 for
@@ -96,8 +100,8 @@ class LaplaceBEMKernel:
         y = eval_regular(d_norm, p)
         w = jnp.asarray(hm.term_weights(p), dtype=L.dtype)
         re, im = jnp.real(y), jnp.imag(y)
-        r0 = jnp.sum(w * (L[:, 0, 0, :] * re - L[:, 0, 1, :] * im), axis=-1)
-        r1 = jnp.sum(w * (L[:, 1, 0, :] * re - L[:, 1, 1, :] * im), axis=-1)
+        r0 = jnp.sum(w * (re_part(L[:, 0]) * re - im_part(L[:, 0]) * im), axis=-1)
+        r1 = jnp.sum(w * (re_part(L[:, 1]) * re - im_part(L[:, 1]) * im), axis=-1)
         bc = fields["bc"]
         return jnp.where(bc == 0.0, r0, -r1)[:, None]
 
@@ -106,8 +110,8 @@ class LaplaceBEMKernel:
         s = eval_singular(d_norm, p)
         w = jnp.asarray(hm.term_weights(p), dtype=M.dtype)
         re, im = jnp.real(s), jnp.imag(s)
-        r0 = jnp.sum(w * (M[:, 0, 0, :] * re - M[:, 0, 1, :] * im), axis=-1)
-        r1 = jnp.sum(w * (M[:, 1, 0, :] * re - M[:, 1, 1, :] * im), axis=-1)
+        r0 = jnp.sum(w * (re_part(M[:, 0]) * re - im_part(M[:, 0]) * im), axis=-1)
+        r1 = jnp.sum(w * (re_part(M[:, 1]) * re - im_part(M[:, 1]) * im), axis=-1)
         bc = fields["bc"]
         return (inv_sigma * jnp.where(bc == 0.0, r0, -r1))[:, None]
 

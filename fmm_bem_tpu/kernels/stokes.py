@@ -26,24 +26,26 @@ import numpy as np
 
 from fmm_bem_tpu.kernels import harmonics as hm
 from fmm_bem_tpu.kernels.laplace import (
-    _to_real_pairs,
     eval_regular,
     eval_singular,
+    im_part,
+    re_part,
+    to_interleaved,
 )
 
 
 def _phys_potentials(E, y, w):
-    """Re(sum w * E * Y) for each of the 4 components: E [4,2,T] real
-    pairs, y [T] complex -> [4]."""
+    """Re(sum w * E * Y) for each of the 4 components: E [4, W]
+    interleaved, y [T] complex -> [4]."""
     return jnp.sum(
-        w * (E[:, 0, :] * jnp.real(y) - E[:, 1, :] * jnp.imag(y)), axis=-1
+        w * (re_part(E) * jnp.real(y) - im_part(E) * jnp.imag(y)), axis=-1
     )
 
 
 def tornberg_velocity(E, d_norm, inv_sigma, t_global, p, singular, scale):
     """Velocity from a 4-component harmonic expansion set at one target.
 
-    E [4, 2, T] real-pair expansions (multipole if ``singular`` else
+    E [4, W] interleaved expansions (multipole if ``singular`` else
     local), d_norm normalised offset, t_global the target's global
     coordinates (the formulation's explicit x_target dependence).
     """
@@ -72,18 +74,20 @@ class StokesKernel:
     #: overall evaluation scale (1 stokeslet, 1/6 stresslet)
     scale = 1.0
 
+    scale_invariant = True
+
     # ----- host matrices: componentwise Laplace -----
-    def num_terms(self, p):
-        return hm.num_terms(p)
+    def width(self, p):
+        return hm.real_width(p)
 
-    def m2m_matrix(self, dr_norm, sigma_ratio, p):
-        return hm.m2m_matrix(dr_norm, sigma_ratio, p)
+    def m2m_matrix(self, dr, sigma_src, sigma_tgt, p):
+        return hm.m2m_matrix(dr, sigma_src, sigma_tgt, p)
 
-    def m2l_matrix(self, dr_norm, sigma_ratio, p):
-        return hm.m2l_matrix(dr_norm, sigma_ratio, p)
+    def m2l_matrix(self, dr, sigma_src, sigma_tgt, p):
+        return hm.m2l_matrix(dr, sigma_src, sigma_tgt, p)
 
-    def l2l_matrix(self, dr_norm, sigma_ratio, p):
-        return hm.l2l_matrix(dr_norm, sigma_ratio, p)
+    def l2l_matrix(self, dr, sigma_src, sigma_tgt, p):
+        return hm.l2l_matrix(dr, sigma_src, sigma_tgt, p)
 
     def m2l_pair_scale(self, sigma_src):
         return 1.0 / sigma_src
@@ -99,7 +103,7 @@ class StokesKernel:
             [charges[:, 0], charges[:, 1], charges[:, 2], fdotx], axis=1
         )  # [N, 4]
         mc = comps[:, :, None] * yc[:, None, :]
-        return _to_real_pairs(mc)
+        return to_interleaved(mc)
 
     def l2p(self, fields, L, d_norm, inv_sigma, p):
         t = fields["xyz"]
@@ -177,7 +181,7 @@ class StressletKernel(StokesKernel):
         m2 = rdotn * g[:, 2:3] + rdotg * nv[:, 2:3]
         m3 = rdotn * xdotg[:, None] + rdotg * ndotx[:, None]
         mc = jnp.stack([m0, m1, m2, m3], axis=1)
-        return _to_real_pairs(mc)
+        return to_interleaved(mc)
 
     def p2p(self, tgt_xyz, src_xyz, charges):
         """u_i = (dx.n)/r^5 * dx_i (dx.g), dx = t - s (ref P2P :86-117)."""

@@ -30,7 +30,7 @@ import numpy as np
 
 from fmm_bem_tpu.bem.quadrature import duffy_rule, get_rule
 from fmm_bem_tpu.kernels import harmonics as hm
-from fmm_bem_tpu.kernels.laplace import _to_real_pairs, eval_regular
+from fmm_bem_tpu.kernels.laplace import eval_regular, to_interleaved
 from fmm_bem_tpu.kernels.stokes import tornberg_velocity
 
 #: BC flag values (ref StokesSphericalBEM Panel::BC)
@@ -151,17 +151,19 @@ class StokesBEMKernel:
         self.fine_K = fine_K
         self.mu = mu
 
-    def num_terms(self, p):
-        return hm.num_terms(p)
+    scale_invariant = True
 
-    def m2m_matrix(self, dr_norm, sigma_ratio, p):
-        return hm.m2m_matrix(dr_norm, sigma_ratio, p)
+    def width(self, p):
+        return hm.real_width(p)
 
-    def m2l_matrix(self, dr_norm, sigma_ratio, p):
-        return hm.m2l_matrix(dr_norm, sigma_ratio, p)
+    def m2m_matrix(self, dr, sigma_src, sigma_tgt, p):
+        return hm.m2m_matrix(dr, sigma_src, sigma_tgt, p)
 
-    def l2l_matrix(self, dr_norm, sigma_ratio, p):
-        return hm.l2l_matrix(dr_norm, sigma_ratio, p)
+    def m2l_matrix(self, dr, sigma_src, sigma_tgt, p):
+        return hm.m2l_matrix(dr, sigma_src, sigma_tgt, p)
+
+    def l2l_matrix(self, dr, sigma_src, sigma_tgt, p):
+        return hm.l2l_matrix(dr, sigma_src, sigma_tgt, p)
 
     def m2l_pair_scale(self, sigma_src):
         return 1.0 / sigma_src
@@ -218,7 +220,7 @@ class StokesBEMKernel:
             [jnp.repeat((1.0 - bc)[:, None], 4, 1), jnp.repeat(bc[:, None], 4, 1)],
             axis=1,
         )
-        return _to_real_pairs(mc * sel[..., None])
+        return to_interleaved(mc * sel[..., None])
 
     def _eval_set(self, fields, E, d_norm, inv_sigma, p, singular):
         """Target-BC-selected Tornberg evaluation of the two sets."""

@@ -17,30 +17,31 @@ class UnitKernel:
     charge_dim = 1
     result_dim = 1
 
-    def num_terms(self, p):
-        return 1  # a single real counter, stored as one complex slot
+    scale_invariant = True
 
-    def m2m_matrix(self, dr_norm, sigma_ratio, p):
-        return np.eye(2)
+    def width(self, p):
+        return 1  # a single real counter
 
-    def m2l_matrix(self, dr_norm, sigma_ratio, p):
-        return np.eye(2)
+    def m2m_matrix(self, dr, sigma_src, sigma_tgt, p):
+        return np.eye(1)
 
-    def l2l_matrix(self, dr_norm, sigma_ratio, p):
-        return np.eye(2)
+    def m2l_matrix(self, dr, sigma_src, sigma_tgt, p):
+        return np.eye(1)
+
+    def l2l_matrix(self, dr, sigma_src, sigma_tgt, p):
+        return np.eye(1)
 
     def m2l_pair_scale(self, sigma_src):
         return np.ones_like(sigma_src)
 
     def p2m(self, fields, charges, d_norm, inv_sigma, p):
-        re = charges.reshape(-1, 1, 1, 1)
-        return jnp.concatenate([re, jnp.zeros_like(re)], axis=2)
+        return charges.reshape(-1, 1, 1)
 
     def l2p(self, fields, L, d_norm, inv_sigma, p):
-        return L[:, 0, 0, :]
+        return L[:, 0, :]
 
     def m2p(self, fields, M, d_norm, inv_sigma, p):
-        return M[:, 0, 0, :]
+        return M[:, 0, :]
 
     def p2p_block(self, tgt_fields, src_fields, charges, src_mask):
         t = tgt_fields["xyz"]

@@ -26,8 +26,11 @@ def _setup(seed=0, nsrc=40, ntgt=30, sep=5.0):
 
 
 def _p2m(src, q, c, sigma, p):
-    contrib = K.p2m(None, jnp.asarray(q), jnp.asarray((src - c) / sigma), p)
-    return jnp.sum(contrib, axis=0)  # [ncomp, 2, T]
+    inv_s = jnp.full(len(src), 1.0 / sigma)
+    contrib = K.p2m(
+        None, jnp.asarray(q), jnp.asarray((src - c) / sigma), inv_s, p
+    )
+    return jnp.sum(contrib, axis=0)  # [ncomp, W]
 
 
 def _rel_err(approx, exact):
@@ -55,7 +58,7 @@ def test_p2m_m2l_l2p(p):
     exact = K.direct(tgt, src, jnp.asarray(q))
     M = _p2m(src, q, c_s, sigma_s, p)
 
-    mat = K.m2l_matrix((c_t - c_s) / sigma_s, sigma_t / sigma_s, p)
+    mat = K.m2l_matrix(c_t - c_s, sigma_s, sigma_t, p)
     L = (mat @ np.asarray(M).reshape(-1)) / sigma_s
     L = jnp.asarray(L.reshape(M.shape))
 
@@ -78,16 +81,16 @@ def test_full_chain_m2m_l2l(p):
     sig_ps = 2 * sigma_s
     c_ps = c_s + np.array([sig_cs, sig_cs, -sig_cs])  # parent center offset
     M_child = _p2m(src, q, c_s, sig_cs, p)
-    m2m = K.m2m_matrix((c_ps - c_s) / sig_cs, sig_cs / sig_ps, p)
+    m2m = K.m2m_matrix(c_ps - c_s, sig_cs, sig_ps, p)
     M_par = (m2m @ np.asarray(M_child).reshape(-1)).reshape(M_child.shape)
 
     sig_ct = sigma_t
     sig_pt = 2 * sigma_t
     c_pt = c_t + np.array([-sig_ct, sig_ct, sig_ct])
-    m2l = K.m2l_matrix((c_pt - c_ps) / sig_ps, sig_pt / sig_ps, p)
+    m2l = K.m2l_matrix(c_pt - c_ps, sig_ps, sig_pt, p)
     L_par = (m2l @ M_par.reshape(-1)) / sig_ps
 
-    l2l = K.l2l_matrix((c_t - c_pt) / sig_ct, sig_ct / sig_pt, p)
+    l2l = K.l2l_matrix(c_t - c_pt, sig_pt, sig_ct, p)
     L_child = (l2l @ L_par).reshape(M_child.shape)
 
     Lb = jnp.broadcast_to(jnp.asarray(L_child), (len(tgt),) + L_child.shape)
@@ -106,7 +109,7 @@ def test_m2m_preserves_far_field():
     M_child = _p2m(src, q, c_s, sigma_s, p)
     sig_p = 2 * sigma_s
     c_p = c_s + np.array([-sigma_s, sigma_s, sigma_s])
-    m2m = K.m2m_matrix((c_p - c_s) / sigma_s, sigma_s / sig_p, p)
+    m2m = K.m2m_matrix(c_p - c_s, sigma_s, sig_p, p)
     M_par = jnp.asarray(
         (m2m @ np.asarray(M_child).reshape(-1)).reshape(M_child.shape)
     )

@@ -62,15 +62,15 @@ def test_full_chain_m2m_m2l_l2l_l2p(kern):
 
     sig_p = 2 * sigma
     c_ps = c_s + np.array([sigma, -sigma, sigma])
-    m2m = kern.m2m_matrix((c_ps - c_s) / sigma, 0.5, p)
+    m2m = kern.m2m_matrix(c_ps - c_s, sigma, sig_p, p)
     M_par = (m2m @ np.asarray(M_child).reshape(4, -1).T).T.reshape(M_child.shape)
 
     c_pt = c_t + np.array([-sigma, sigma, sigma])
     sig_pt = 2 * sigma
-    m2l = kern.m2l_matrix((c_pt - c_ps) / sig_p, sig_pt / sig_p, p)
+    m2l = kern.m2l_matrix(c_pt - c_ps, sig_p, sig_pt, p)
     L_par = (m2l @ np.asarray(M_par).reshape(4, -1).T).T.reshape(M_child.shape) / sig_p
 
-    l2l = kern.l2l_matrix((c_t - c_pt) / sigma, 0.5, p)
+    l2l = kern.l2l_matrix(c_t - c_pt, sig_pt, sigma, p)
     L = (l2l @ np.asarray(L_par).reshape(4, -1).T).T.reshape(M_child.shape)
 
     dt_ = jnp.asarray((tgt - c_t) / sigma)

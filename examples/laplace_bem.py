@@ -80,7 +80,7 @@ def main():
         from fmm_bem_tpu.bem.integrals import near_entries_laplace
 
         idx = np.arange(n)
-        G, dG = near_entries_laplace(fields, idx, idx, fine_K=kern.fine_K)
+        G, dG = near_entries_laplace(fields, fields, idx, idx, fine_K=kern.fine_K)
         diag = np.where(np.asarray(fields["bc"]) == 0.0, G, dG)
         M = pc.diagonal(diag)
 

@@ -177,10 +177,10 @@ def _quad_dGdn(t, verts, area, normal, qpts, qw, kappa=0.0):
     return (qw * val).sum(1) * area
 
 
-def near_entries_laplace(fields, t_idx, s_idx, fine_K=17, kappa=0.0):
-    """(G, dGdn) matrix entries for target centre t_idx vs source panel
-    s_idx — the semantics of the reference's BC-switched operator()
-    (LaplaceSphericalBEM.hpp:273-297):
+def near_entries_laplace(tgt_fields, src_fields, t_idx, s_idx, fine_K=17, kappa=0.0):
+    """(G, dGdn) matrix entries for target centres (tgt_fields["xyz"])
+    vs source panels — the semantics of the reference's BC-switched
+    operator() (LaplaceSphericalBEM.hpp:273-297):
 
     - G:    semi-analytical when sqrt(2 A_s)/dist >= 0.5, else K-point
             panel quadrature (ref eval_G :159-205)
@@ -190,14 +190,14 @@ def near_entries_laplace(fields, t_idx, s_idx, fine_K=17, kappa=0.0):
     """
     from fmm_bem_tpu.bem.quadrature import get_rule
 
-    centers = np.asarray(fields["xyz"])
-    verts = np.asarray(fields["vertices"])
-    area = np.asarray(fields["area"])
-    normal = np.asarray(fields["normal"])
-    qp = np.asarray(fields["qp_off"]) + centers[:, None, :]
-    qw = np.asarray(fields["qw"])
+    centers = np.asarray(src_fields["xyz"])
+    verts = np.asarray(src_fields["vertices"])
+    area = np.asarray(src_fields["area"])
+    normal = np.asarray(src_fields["normal"])
+    qp = np.asarray(src_fields["qp_off"]) + centers[:, None, :]
+    qw = np.asarray(src_fields["qw"])
 
-    t = centers[t_idx]
+    t = np.asarray(tgt_fields["xyz"])[t_idx]
     sv = verts[s_idx]
     sa = area[s_idx]
     sn = normal[s_idx]

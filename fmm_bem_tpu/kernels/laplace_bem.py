@@ -116,10 +116,12 @@ class LaplaceBEMKernel:
         return (inv_sigma * jnp.where(bc == 0.0, r0, -r1))[:, None]
 
     # ----- near field -----
-    def near_values(self, fields, rows, cols):
+    def near_values(self, tgt_fields, src_fields, rows, cols):
         """Host assembly of (G, dGdn) entry pairs (ref eval_G/eval_dGdn
         with SA/fine/plain quadrature selection)."""
-        G, dG = near_entries_laplace(fields, rows, cols, fine_K=self.fine_K)
+        G, dG = near_entries_laplace(
+            tgt_fields, src_fields, rows, cols, fine_K=self.fine_K
+        )
         return np.stack([G, dG], axis=1)
 
     def near_matvec(self, vals, rows, cols, fields, qm, n):
@@ -136,7 +138,9 @@ class LaplaceBEMKernel:
         n = len(fields["xyz"])
         rows = np.repeat(np.arange(n, dtype=np.int64), n)
         cols = np.tile(np.arange(n, dtype=np.int64), n)
-        G, dG = near_entries_laplace(fields, rows, cols, fine_K=self.fine_K)
+        G, dG = near_entries_laplace(
+            fields, fields, rows, cols, fine_K=self.fine_K
+        )
         bc = np.asarray(fields["bc"])[rows]
         vals = np.where(bc == 0.0, G, dG)
         return vals.reshape(n, n)
@@ -148,23 +152,10 @@ class LaplaceBEMKernel:
         targets = np.asarray(targets, dtype=np.float64)
         nt = len(targets)
         ns = len(fields["xyz"])
-        # reuse the entry assembler with virtual target rows
-        virt = {
-            "xyz": np.concatenate([fields["xyz"], targets]),
-            "vertices": np.concatenate(
-                [fields["vertices"], np.zeros((nt, 3, 3))]
-            ),
-            "area": np.concatenate([fields["area"], np.zeros(nt)]),
-            "normal": np.concatenate([fields["normal"], np.zeros((nt, 3))]),
-            "qp_off": np.concatenate(
-                [fields["qp_off"], np.zeros((nt,) + fields["qp_off"].shape[1:])]
-            ),
-            "qw": np.concatenate(
-                [fields["qw"], np.zeros((nt, fields["qw"].shape[1]))]
-            ),
-        }
-        rows = np.repeat(np.arange(ns, ns + nt, dtype=np.int64), ns)
+        rows = np.repeat(np.arange(nt, dtype=np.int64), ns)
         cols = np.tile(np.arange(ns, dtype=np.int64), nt)
-        G, dG = near_entries_laplace(virt, rows, cols, fine_K=self.fine_K)
+        G, dG = near_entries_laplace(
+            {"xyz": targets}, fields, rows, cols, fine_K=self.fine_K
+        )
         vals = G if layer == "G" else dG
         return (vals.reshape(nt, ns) @ np.asarray(charges)).reshape(nt)

@@ -83,17 +83,17 @@ def _self_velocity_integral(verts, x, n_duffy=24):
     return out
 
 
-def stokes_near_entries(fields, t_idx, s_idx, mu, fine_K=19):
+def stokes_near_entries(tgt_fields, src_fields, t_idx, s_idx, mu, fine_K=19):
     """(velocity_block, traction_block) 3x3 entries per (target, source)
     pair, following the reference's SA/fine/plain selection."""
-    centers = np.asarray(fields["xyz"])
-    verts = np.asarray(fields["vertices"])
-    area = np.asarray(fields["area"])
-    normal = np.asarray(fields["normal"])
-    qp = np.asarray(fields["qp_off"]) + centers[:, None, :]
-    qw = np.asarray(fields["qw"])
+    centers = np.asarray(src_fields["xyz"])
+    verts = np.asarray(src_fields["vertices"])
+    area = np.asarray(src_fields["area"])
+    normal = np.asarray(src_fields["normal"])
+    qp = np.asarray(src_fields["qp_off"]) + centers[:, None, :]
+    qw = np.asarray(src_fields["qw"])
 
-    t = centers[t_idx]
+    t = np.asarray(tgt_fields["xyz"])[t_idx]
     sv = verts[s_idx]
     sa = area[s_idx]
     sn = normal[s_idx]
@@ -245,9 +245,9 @@ class StokesBEMKernel:
         return self._eval_set(fields, M, d_norm, inv_sigma, p, True)
 
     # ----- near field -----
-    def near_values(self, fields, rows, cols):
+    def near_values(self, tgt_fields, src_fields, rows, cols):
         vel, trac = stokes_near_entries(
-            fields, rows, cols, self.mu, fine_K=self.fine_K
+            tgt_fields, src_fields, rows, cols, self.mu, fine_K=self.fine_K
         )
         return np.stack([vel, trac], axis=1)  # [nnz, 2, 3, 3]
 
@@ -266,7 +266,7 @@ class StokesBEMKernel:
         rows = np.repeat(np.arange(n, dtype=np.int64), n)
         cols = np.tile(np.arange(n, dtype=np.int64), n)
         vel, trac = stokes_near_entries(
-            fields, rows, cols, self.mu, fine_K=self.fine_K
+            fields, fields, rows, cols, self.mu, fine_K=self.fine_K
         )
         bc = np.asarray(fields["bc"])[rows]
         blocks = np.where((bc == VELOCITY)[:, None, None], vel, trac)

@@ -89,9 +89,10 @@ class YukawaBEMKernel(YukawaKernel):
         return self._eval_pair(fields, r0, r1)
 
     # ----- near field -----
-    def near_values(self, fields, rows, cols):
+    def near_values(self, tgt_fields, src_fields, rows, cols):
         G, dG = near_entries_laplace(
-            fields, rows, cols, fine_K=self.fine_K, kappa=self.kappa
+            tgt_fields, src_fields, rows, cols,
+            fine_K=self.fine_K, kappa=self.kappa,
         )
         return np.stack([G, dG], axis=1)
 
@@ -106,7 +107,7 @@ class YukawaBEMKernel(YukawaKernel):
         rows = np.repeat(np.arange(n, dtype=np.int64), n)
         cols = np.tile(np.arange(n, dtype=np.int64), n)
         G, dG = near_entries_laplace(
-            fields, rows, cols, fine_K=self.fine_K, kappa=self.kappa
+            fields, fields, rows, cols, fine_K=self.fine_K, kappa=self.kappa
         )
         bc = np.asarray(fields["bc"])[rows]
         vals = np.where(bc == 0.0, G, dG)

@@ -80,7 +80,7 @@ def sharded_matvec(plan, p, mesh, axis="sp"):
 
     @jax.jit
     def f(q):
-        return plan._matvec(d, fields, q, p)
+        return plan._matvec(d, fields, fields, q, p)
 
     def apply(q):
         q = jax.device_put(jnp.asarray(q, jnp.dtype(plan.config.dtype)), qspec)
@@ -101,7 +101,7 @@ def sharded_solve_step(plan, p, mesh, axis="sp"):
 
     @jax.jit
     def step(v, basis):
-        w = plan._matvec(d, fields, v, p)[:, 0]
+        w = plan._matvec(d, fields, fields, v, p)[:, 0]
         # modified Gram-Schmidt projections against the Krylov basis
         coeffs = basis @ w  # [k]
         w = w - coeffs @ basis

@@ -39,9 +39,10 @@ def block_diagonal_from_plan(plan, p=None, assemble_block=None):
     kern = plan.kernel
     K = plan.leaf_pad
     d = plan._device_data(p or plan.config.max_p)
-    bidx = d["leaf_body_idx"]
-    bmask = d["leaf_body_mask"]
-    fields = {k: v[bidx] for k, v in d["fields"].items()}
+    bidx = d["s_leaf_body_idx"]
+    bmask = d["s_leaf_body_mask"]
+    dev_fields = plan.device_fields()
+    fields = {k: v[bidx] for k, v in dev_fields.items()}
 
     if assemble_block is None:
         def assemble_block(tf, sf):
@@ -58,8 +59,8 @@ def block_diagonal_from_plan(plan, p=None, assemble_block=None):
     inv = jnp.linalg.inv(blocks)
     inv = jnp.where(m2, inv, 0.0)
 
-    flat_slot = d["body_flat_slot"]
-    perm = d["perm"]
+    flat_slot = d["s_body_flat_slot"]
+    perm = d["s_perm"]
     nl = bidx.shape[0]
 
     @jax.jit

@@ -104,6 +104,14 @@ def build_interaction_lists(
     st = src_tree
     tt = tgt_tree if tgt_tree is not None else src_tree
 
+    # native C++ traversal when available (identical semantics)
+    from fmm_bem_tpu import native
+
+    nat = native.traverse(st, tt, theta)
+    if nat is not None:
+        m2l, near = nat
+        return _package_lists(tt, m2l[:, 0], m2l[:, 1], near, treecode)
+
     m2l_s, m2l_t = [], []
     p2p_s, p2p_t = [], []
 
@@ -170,19 +178,22 @@ def build_interaction_lists(
     near = np.stack([_cat(p2p_s), _cat(p2p_t)], axis=1) if p2p_s else np.zeros(
         (0, 2), dtype=np.int32
     )
+    return _package_lists(tt, far_s, far_t, near, treecode)
 
+
+def _package_lists(tt, far_s, far_t, near, treecode):
     if treecode:
         # expand far-field targets to their descendant leaves for M2P
         if len(far_t):
             leaves, rows = expand_to_leaves(tt, far_t)
-            m2p = np.stack([far_s[rows], leaves], axis=1)
+            m2p = np.stack([far_s[rows], leaves], axis=1).astype(np.int32)
         else:
             m2p = np.zeros((0, 2), dtype=np.int32)
         m2l = np.zeros((0, 2), dtype=np.int32)
     else:
-        m2l = np.stack([far_s, far_t], axis=1) if len(far_s) else np.zeros(
-            (0, 2), dtype=np.int32
-        )
+        m2l = np.stack([far_s, far_t], axis=1).astype(np.int32) if len(
+            far_s
+        ) else np.zeros((0, 2), dtype=np.int32)
         m2p = np.zeros((0, 2), dtype=np.int32)
 
     return InteractionLists(m2l_pairs=m2l, m2p_pairs=m2p, p2p_pairs=near)

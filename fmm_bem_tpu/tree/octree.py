@@ -101,7 +101,9 @@ def build_tree(points, ncrit=64, max_level=morton.LEVELS, pmin=None, side=None):
     bodies (ref Octree.hpp:641-644) until ``max_level``.
 
     ``pmin``/``side`` may be supplied to embed several trees (e.g. a
-    source and a target tree) in one common cube.
+    source and a target tree) in one common cube.  Uses the native C++
+    builder (fmm_bem_tpu.native) when available, with this numpy code as
+    the identical-semantics fallback.
     """
     points = np.asarray(points, dtype=np.float64)
     n = points.shape[0]
@@ -109,6 +111,28 @@ def build_tree(points, ncrit=64, max_level=morton.LEVELS, pmin=None, side=None):
         raise ValueError("cannot build a tree over zero points")
     if pmin is None or side is None:
         pmin, side = bounding_cube(points)
+    pmin = np.asarray(pmin, dtype=np.float64)
+
+    from fmm_bem_tpu import native
+
+    nat = native.build_tree_arrays(points, ncrit, max_level, pmin, side)
+    if nat is not None:
+        return _finalize_tree(
+            points[nat["perm"]],
+            nat["perm"],
+            nat["codes"],
+            nat["level"],
+            nat["parent"].astype(np.int32),
+            nat["child_start"],
+            nat["child_count"],
+            nat["body_start"],
+            nat["body_count"],
+            nat["is_leaf"].astype(bool),
+            nat["prefix"],
+            nat["body_leaf"],
+            pmin,
+            side,
+        )
     cell = side / morton.CELLS_PER_SIDE
 
     codes = morton.morton_encode(points, pmin, cell)
@@ -161,7 +185,6 @@ def build_tree(points, ncrit=64, max_level=morton.LEVELS, pmin=None, side=None):
         box_child_start[b] = first_child
         box_child_count[b] = nchild
 
-    nbox = len(box_level)
     box_level = np.asarray(box_level, dtype=np.int32)
     box_parent = np.asarray(box_parent, dtype=np.int32)
     box_child_start = np.asarray(box_child_start, dtype=np.int32)
@@ -171,43 +194,81 @@ def build_tree(points, ncrit=64, max_level=morton.LEVELS, pmin=None, side=None):
     box_is_leaf = np.asarray(box_is_leaf, dtype=bool)
     box_prefix = np.asarray(box_prefix, dtype=np.int64)
 
-    # BFS order => levels contiguous and sorted ascending
-    nlevels = int(box_level.max()) + 1
-    level_offset = np.searchsorted(box_level, np.arange(nlevels + 1)).astype(np.int32)
-
-    # geometric centers from the morton prefix at each box's level
-    # (ref Octree.hpp:350-355: center of the morton cell)
-    ix, iy, iz = morton.deinterleave(box_prefix)
-    shift_per_box = morton.LEVELS - box_level
-    scale = (1 << shift_per_box).astype(np.float64)
-    cell_idx = np.stack(
-        [ix >> shift_per_box, iy >> shift_per_box, iz >> shift_per_box], axis=-1
-    ).astype(np.float64)
-    side_per_box = side / (2.0 ** box_level.astype(np.float64))
-    box_center = pmin[None, :] + (cell_idx + 0.5) * side_per_box[:, None]
-    box_radius = side_per_box / 2.0
-
     # leaf ownership per body
     body_leaf = np.empty(n, dtype=np.int32)
     for b in np.nonzero(box_is_leaf)[0]:
         body_leaf[box_body_start[b] : box_body_start[b] + box_body_count[b]] = b
 
-    del scale, nbox
+    return _finalize_tree(
+        pts,
+        perm,
+        codes,
+        box_level,
+        box_parent,
+        box_child_start,
+        box_child_count,
+        box_body_start,
+        box_body_count,
+        box_is_leaf,
+        box_prefix,
+        body_leaf,
+        pmin,
+        side,
+    )
+
+
+def _finalize_tree(
+    pts,
+    perm,
+    codes,
+    box_level,
+    box_parent,
+    box_child_start,
+    box_child_count,
+    box_body_start,
+    box_body_count,
+    box_is_leaf,
+    box_prefix,
+    body_leaf,
+    pmin,
+    side,
+):
+    """Derive geometric/level metadata shared by the native and numpy
+    builders."""
+    box_level = np.asarray(box_level, dtype=np.int32)
+    # BFS order => levels contiguous and sorted ascending
+    nlevels = int(box_level.max()) + 1
+    level_offset = np.searchsorted(box_level, np.arange(nlevels + 1)).astype(
+        np.int32
+    )
+
+    # geometric centers from the morton prefix at each box's level
+    # (ref Octree.hpp:350-355: center of the morton cell)
+    ix, iy, iz = morton.deinterleave(np.asarray(box_prefix, dtype=np.int64))
+    shift_per_box = morton.LEVELS - box_level
+    cell_idx = np.stack(
+        [ix >> shift_per_box, iy >> shift_per_box, iz >> shift_per_box],
+        axis=-1,
+    ).astype(np.float64)
+    side_per_box = side / (2.0 ** box_level.astype(np.float64))
+    box_center = pmin[None, :] + (cell_idx + 0.5) * side_per_box[:, None]
+    box_radius = side_per_box / 2.0
+
     return Tree(
-        points=pts,
-        perm=perm,
-        codes=codes,
+        points=np.asarray(pts, dtype=np.float64),
+        perm=np.asarray(perm, dtype=np.int64),
+        codes=np.asarray(codes, dtype=np.int64),
         box_level=box_level,
-        box_parent=box_parent,
-        box_child_start=box_child_start,
-        box_child_count=box_child_count,
-        box_body_start=box_body_start,
-        box_body_count=box_body_count,
-        box_is_leaf=box_is_leaf,
+        box_parent=np.asarray(box_parent, dtype=np.int32),
+        box_child_start=np.asarray(box_child_start, dtype=np.int32),
+        box_child_count=np.asarray(box_child_count, dtype=np.int32),
+        box_body_start=np.asarray(box_body_start, dtype=np.int32),
+        box_body_count=np.asarray(box_body_count, dtype=np.int32),
+        box_is_leaf=np.asarray(box_is_leaf, dtype=bool),
         box_center=box_center,
         box_radius=box_radius,
         level_offset=level_offset,
-        body_leaf=body_leaf,
+        body_leaf=np.asarray(body_leaf, dtype=np.int32),
         pmin=np.asarray(pmin, dtype=np.float64),
         root_side=float(side),
     )

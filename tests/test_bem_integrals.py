@@ -107,7 +107,7 @@ def test_near_entries_match_oracle():
     rng = np.random.default_rng(1)
     t_idx = rng.integers(0, n, 40)
     s_idx = rng.integers(0, n, 40)
-    G, dG = near_entries_laplace(fields, t_idx, s_idx)
+    G, dG = near_entries_laplace(fields, fields, t_idx, s_idx)
     for ti, si, g in zip(t_idx, s_idx, G):
         x = fields["xyz"][ti]
         verts = fields["vertices"][si]

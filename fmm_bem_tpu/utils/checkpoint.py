@@ -25,7 +25,8 @@ def save_checkpoint(path, **arrays):
     """Atomically save named arrays (scalars allowed) to ``path``."""
     d = os.path.dirname(os.path.abspath(path)) or "."
     os.makedirs(d, exist_ok=True)
-    fd, tmp = tempfile.mkstemp(dir=d, suffix=".npz.tmp")
+    # numpy appends ".npz" unless the name already ends with it
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp.npz")
     os.close(fd)
     try:
         np.savez(tmp, **{k: np.asarray(v) for k, v in arrays.items()})

@@ -197,6 +197,16 @@ def near_entries_laplace(tgt_fields, src_fields, t_idx, s_idx, fine_K=17, kappa=
     qp = np.asarray(src_fields["qp_off"]) + centers[:, None, :]
     qw = np.asarray(src_fields["qw"])
 
+    # native C++ assembly when available (identical semantics,
+    # multithreaded; see native/fmm_native.cpp fmm_near_laplace)
+    from fmm_bem_tpu import native
+
+    nat = native.near_laplace(
+        tgt_fields, src_fields, t_idx, s_idx, fine_K, kappa
+    )
+    if nat is not None:
+        return nat
+
     t = np.asarray(tgt_fields["xyz"])[t_idx]
     sv = verts[s_idx]
     sa = area[s_idx]

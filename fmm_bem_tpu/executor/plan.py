@@ -285,6 +285,7 @@ class FmmPlan:
 
         scale_inv = getattr(kern, "scale_invariant", True)
         src_list, tgt_list, scale_list, mats = [], [], [], []
+        cls_of_pair = []
         if len(s):
             offn = (tt.box_center[tg] - st.box_center[s]) / sig_s[:, None]
             dlvl = (
@@ -316,6 +317,7 @@ class FmmPlan:
         self.m2l_classes = _ClassedPairs(
             src=src_list, tgt=tgt_list, scale=scale_list, mats=mats_arr
         )
+        self._build_m2l_tiles()
 
         # ---- M2P list: treecode far field + skew fallback
         mp = self.lists.m2p_pairs
@@ -328,6 +330,56 @@ class FmmPlan:
         self.m2p_inv_sigma = (
             1.0 / st.box_radius[ms] if len(ms) else np.zeros(0)
         )
+
+    def _build_m2l_tiles(self):
+        """Flatten the per-class pair lists into fixed-size tiles so the
+        device M2L is ONE scan of batched [tile, W] x [W, W] matmuls
+        instead of one op per class: each class's pairs are padded to a
+        multiple of ``m2l_tile``; padded pairs carry scale 0 and scatter
+        into a dummy box."""
+        TS = max(8, int(self.config.m2l_tile))
+        cls = self.m2l_classes
+        dummy_tgt = self.tgt.tree.num_boxes  # extra segment, dropped
+        srcs, tgts, scales, tile_cls = [], [], [], []
+        for ci in range(len(cls.src)):
+            n = len(cls.src[ci])
+            ntile = -(-n // TS)
+            pad = ntile * TS - n
+            srcs.append(cls.src[ci])
+            tgts.append(cls.tgt[ci])
+            scales.append(np.asarray(cls.scale[ci], dtype=np.float64))
+            if pad:
+                srcs.append(np.zeros(pad, np.int32))
+                tgts.append(np.full(pad, dummy_tgt, np.int32))
+                scales.append(np.zeros(pad))
+            tile_cls.append(np.full(ntile, ci, np.int32))
+        G = 32  # tiles per scan step (batched einsum width)
+        if srcs:
+            src = np.concatenate(srcs)
+            tgt = np.concatenate(tgts)
+            scale = np.concatenate(scales)
+            cls_arr = np.concatenate(tile_cls)
+            # pad the tile count to a multiple of G with dummy tiles
+            ntile = len(cls_arr)
+            padt = (-ntile) % G
+            if padt:
+                src = np.concatenate([src, np.zeros(padt * TS, np.int32)])
+                tgt = np.concatenate(
+                    [tgt, np.full(padt * TS, dummy_tgt, np.int32)]
+                )
+                scale = np.concatenate([scale, np.zeros(padt * TS)])
+                cls_arr = np.concatenate([cls_arr, np.zeros(padt, np.int32)])
+            self.m2l_tile_src = src
+            self.m2l_tile_tgt = tgt
+            self.m2l_tile_scale = scale
+            self.m2l_tile_cls = cls_arr
+        else:
+            self.m2l_tile_src = np.zeros(0, np.int32)
+            self.m2l_tile_tgt = np.zeros(0, np.int32)
+            self.m2l_tile_scale = np.zeros(0)
+            self.m2l_tile_cls = np.zeros(0, np.int32)
+        self.m2l_tile_size = TS
+        self.m2l_tile_group = G
 
     def _build_near(self):
         """P2P leaf pairs and, for BEM kernels, the precomputed sparse
@@ -403,11 +455,10 @@ class FmmPlan:
                 "m2l_mats": jnp.asarray(
                     self._slice_mats(self.m2l_classes.mats, p), dt
                 ),
-                "m2l_src": [jnp.asarray(a) for a in self.m2l_classes.src],
-                "m2l_tgt": [jnp.asarray(a) for a in self.m2l_classes.tgt],
-                "m2l_scale": [
-                    jnp.asarray(a, dt) for a in self.m2l_classes.scale
-                ],
+                "m2l_tile_src": jnp.asarray(self.m2l_tile_src),
+                "m2l_tile_tgt": jnp.asarray(self.m2l_tile_tgt),
+                "m2l_tile_scale": jnp.asarray(self.m2l_tile_scale, dt),
+                "m2l_tile_cls": jnp.asarray(self.m2l_tile_cls),
                 "p2p_src_slot": jnp.asarray(self.p2p_src_slot),
                 "p2p_tgt_slot": jnp.asarray(self.p2p_tgt_slot),
                 "m2p_src": jnp.asarray(self.m2p_src),
@@ -468,20 +519,34 @@ class FmmPlan:
 
         res_m = jnp.zeros((tt.num_bodies, kern.result_dim), dt)
 
-        # ---- M2L: per-class dense matmuls + one scatter-add
-        if self.m2l_classes.src:
-            Lparts, tgts = [], []
-            for ci in range(len(self.m2l_classes.src)):
-                sidx = d["m2l_src"][ci]
-                npair = sidx.shape[0]
-                ms = M[sidx].reshape(npair * ncomp, W)
-                out = (ms @ d["m2l_mats"][ci].T).reshape(npair, ncomp, W)
-                out = out * d["m2l_scale"][ci][:, None, None]
-                Lparts.append(out)
-                tgts.append(d["m2l_tgt"][ci])
-            Lall = jnp.concatenate(Lparts, axis=0)
-            tall = jnp.concatenate(tgts, axis=0)
-            L = _seg_sum(Lall, tall, tt.num_boxes)
+        # ---- M2L: tiled class matmuls under one lax.scan.  Each tile
+        # is [TS*ncomp, W] x [W, W] on the MXU; the local expansions
+        # accumulate in the scan carry so transient memory stays O(tile)
+        npairs_pad = len(self.m2l_tile_src)
+        if npairs_pad:
+            TS = self.m2l_tile_size
+            G = self.m2l_tile_group
+            ngroups = npairs_pad // (TS * G)
+            src_t = d["m2l_tile_src"].reshape(ngroups, G, TS)
+            tgt_t = d["m2l_tile_tgt"].reshape(ngroups, G * TS)
+            scl_t = d["m2l_tile_scale"].reshape(ngroups, G, TS)
+            cls_t = d["m2l_tile_cls"].reshape(ngroups, G)
+            L0 = jnp.zeros((tt.num_boxes + 1, ncomp, W), dt)
+
+            def group_step(L, xs):
+                sidx, tidx, scl, ci = xs
+                ms = M[sidx].reshape(G, TS * ncomp, W)
+                mats = d["m2l_mats"][ci]  # [G, W, W]
+                out = jnp.einsum(
+                    "gpw,gvw->gpv", ms, mats
+                ).reshape(G, TS, ncomp, W)
+                out = out * scl[:, :, None, None]
+                return L.at[tidx].add(out.reshape(G * TS, ncomp, W)), None
+
+            L, _ = jax.lax.scan(
+                group_step, L0, (src_t, tgt_t, scl_t, cls_t)
+            )
+            L = L[:-1]  # drop the padded-pair dummy box
         else:
             L = jnp.zeros((tt.num_boxes, ncomp, W), dt)
 

@@ -26,64 +26,87 @@ def _complex_dtype(dtype):
 def eval_regular(d, p):
     """Regular solid harmonics R_n^m(d), m >= 0, flat (n,m) index.
 
-    Batched over leading dims of ``d`` [..., 3]; returns complex
-    [..., T(p)].  Cartesian two-term recurrence — no trig, no sin(theta)
-    division (cf. the reference's polar-coordinate recurrence,
-    LaplaceSpherical.hpp:455-488).
+    Batched over leading dims of ``d`` [..., 3]; returns a REAL pair
+    (re [..., T], im [..., T]) — the TPU backend has no native complex
+    support, so the Cartesian two-term recurrence (no trig, no
+    sin(theta) division — cf. the reference's polar recurrence,
+    LaplaceSpherical.hpp:455-488) runs on explicit (re, im) planes.
     """
     x, yc, z = d[..., 0], d[..., 1], d[..., 2]
     rho2 = x * x + yc * yc + z * z
-    u = jax.lax.complex(x, yc)
-    cols = [None] * hm.num_terms(p)
-    bmm = jnp.ones_like(u)
+    T = hm.num_terms(p)
+    re = [None] * T
+    im = [None] * T
+    br = jnp.ones_like(x)
+    bi = jnp.zeros_like(x)
     for m in range(p):
         if m > 0:
-            bmm = bmm * (-(2 * m - 1)) * u
-        b_prev2 = jnp.zeros_like(u)
-        b_prev = bmm
+            c = -(2 * m - 1)
+            br, bi = c * (br * x - bi * yc), c * (br * yc + bi * x)
+        pr2 = pi2 = None
+        pr1, pi1 = br, bi
         for n in range(m, p):
             if n > m:
-                b = ((2 * n - 1) * z * b_prev - (n + m - 1) * rho2 * b_prev2) / (
-                    n - m
-                )
-                b_prev2, b_prev = b_prev, b
-            cols[n * (n + 1) // 2 + m] = float(hm.prefac(n, m)) * b_prev
-    return jnp.stack(cols, axis=-1)
+                if pr2 is None:
+                    nr = (2 * n - 1) * z * pr1 / (n - m)
+                    ni = (2 * n - 1) * z * pi1 / (n - m)
+                else:
+                    nr = ((2 * n - 1) * z * pr1 - (n + m - 1) * rho2 * pr2) / (n - m)
+                    ni = ((2 * n - 1) * z * pi1 - (n + m - 1) * rho2 * pi2) / (n - m)
+                pr2, pi2 = pr1, pi1
+                pr1, pi1 = nr, ni
+            f = float(hm.prefac(n, m))
+            idx = n * (n + 1) // 2 + m
+            re[idx] = f * pr1
+            im[idx] = f * pi1
+    return jnp.stack(re, axis=-1), jnp.stack(im, axis=-1)
 
 
 def eval_singular(d, p, eps=0.0):
-    """Singular solid harmonics S_n^m(d), m >= 0, flat (n,m) index."""
+    """Singular solid harmonics S_n^m(d), m >= 0, flat (n,m) index —
+    real-pair form (see eval_regular)."""
     x, yc, z = d[..., 0], d[..., 1], d[..., 2]
     rho2 = x * x + yc * yc + z * z + eps
     inv_rho2 = 1.0 / rho2
-    u = jax.lax.complex(x, yc)
-    cols = [None] * hm.num_terms(p)
-    cmm = jnp.sqrt(inv_rho2).astype(u.dtype)
+    T = hm.num_terms(p)
+    re = [None] * T
+    im = [None] * T
+    br = jnp.sqrt(inv_rho2)
+    bi = jnp.zeros_like(br)
     for m in range(p):
         if m > 0:
-            cmm = cmm * (-(2 * m - 1)) * u * inv_rho2
-        c_prev2 = jnp.zeros_like(u)
-        c_prev = cmm
+            c = -(2 * m - 1)
+            br, bi = (
+                c * inv_rho2 * (br * x - bi * yc),
+                c * inv_rho2 * (br * yc + bi * x),
+            )
+        pr2 = pi2 = None
+        pr1, pi1 = br, bi
         for n in range(m, p):
             if n > m:
-                c = (
-                    ((2 * n - 1) * z * c_prev - (n + m - 1) * c_prev2)
-                    * inv_rho2
-                    / (n - m)
-                )
-                c_prev2, c_prev = c_prev, c
-            cols[n * (n + 1) // 2 + m] = float(hm.prefac(n, m)) * c_prev
-    return jnp.stack(cols, axis=-1)
+                if pr2 is None:
+                    nr = (2 * n - 1) * z * pr1 * inv_rho2 / (n - m)
+                    ni = (2 * n - 1) * z * pi1 * inv_rho2 / (n - m)
+                else:
+                    nr = ((2 * n - 1) * z * pr1 - (n + m - 1) * pr2) * inv_rho2 / (n - m)
+                    ni = ((2 * n - 1) * z * pi1 - (n + m - 1) * pi2) * inv_rho2 / (n - m)
+                pr2, pi2 = pr1, pi1
+                pr1, pi1 = nr, ni
+            f = float(hm.prefac(n, m))
+            idx = n * (n + 1) // 2 + m
+            re[idx] = f * pr1
+            im[idx] = f * pi1
+    return jnp.stack(re, axis=-1), jnp.stack(im, axis=-1)
 
 
-def to_interleaved(c):
-    """complex [..., T] -> real [..., 2T] interleaved (re_0, im_0, ...).
+def to_interleaved_ri(re, im):
+    """(re, im) [..., T] pairs -> real [..., 2T] interleaved.
 
     Coefficients are degree-ordered, so truncating to a lower p is a
     prefix slice — the property the per-p jit tiers rely on.
     """
-    return jnp.stack([jnp.real(c), jnp.imag(c)], axis=-1).reshape(
-        c.shape[:-1] + (2 * c.shape[-1],)
+    return jnp.stack([re, im], axis=-1).reshape(
+        re.shape[:-1] + (2 * re.shape[-1],)
     )
 
 
@@ -142,15 +165,17 @@ class LaplaceKernel:
         Returns real [B, ncomp, 2, T].
         """
         del src, inv_sigma  # points carry no extra fields
-        y = jnp.conj(eval_regular(d_norm, p))
-        mc = charges[..., None] * y
-        return to_interleaved(mc)[..., None, :]
+        yr, yi = eval_regular(d_norm, p)
+        # conj(R): negate the imaginary plane
+        return to_interleaved_ri(
+            charges[..., None] * yr, -charges[..., None] * yi
+        )[..., None, :]
 
     def _l2p_potential(self, L, d_norm, p):
         """phi at one normalised offset from an interleaved local expansion."""
-        y = eval_regular(d_norm, p)
+        yr, yi = eval_regular(d_norm, p)
         w = jnp.asarray(hm.term_weights(p), dtype=L.dtype)
-        return jnp.sum(w * (re_part(L) * jnp.real(y) - im_part(L) * jnp.imag(y)))
+        return jnp.sum(w * (re_part(L) * yr - im_part(L) * yi))
 
     def l2p(self, tgt, L, d_norm, inv_sigma, p):
         """Potential + force at targets from their leaf's local expansion.
@@ -170,9 +195,9 @@ class LaplaceKernel:
         )
 
     def _m2p_potential(self, M, d_norm, p):
-        s = eval_singular(d_norm, p)
+        sr, si = eval_singular(d_norm, p)
         w = jnp.asarray(hm.term_weights(p), dtype=M.dtype)
-        return jnp.sum(w * (re_part(M) * jnp.real(s) - im_part(M) * jnp.imag(s)))
+        return jnp.sum(w * (re_part(M) * sr - im_part(M) * si))
 
     def m2p(self, tgt, M, d_norm, inv_sigma, p):
         """Treecode far-field evaluation (ref M2P :340-368): the physical

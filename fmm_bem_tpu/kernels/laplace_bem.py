@@ -29,7 +29,7 @@ from fmm_bem_tpu.kernels.laplace import (
     eval_singular,
     im_part,
     re_part,
-    to_interleaved,
+    to_interleaved_ri,
 )
 
 
@@ -79,27 +79,33 @@ class LaplaceBEMKernel:
         w = (fields["qw"] * fields["area"][:, None]) * charges[:, None]  # [N,K]
 
         nrm = jnp.broadcast_to(fields["normal"][:, None, :], qp.shape)
-        y, dy = jax.jvp(lambda z: eval_regular(z, p), (qp,), (nrm,))
-        # component 0: sum_k w_k conj(R(qp_k))
-        m0 = jnp.sum(w[..., None] * jnp.conj(y), axis=1)
+        (yr, yi), (dyr, dyi) = jax.jvp(
+            lambda z: eval_regular(z, p), (qp,), (nrm,)
+        )
+        # component 0: sum_k w_k conj(R(qp_k))  (conj = negate im plane)
+        m0r = jnp.sum(w[..., None] * yr, axis=1)
+        m0i = -jnp.sum(w[..., None] * yi, axis=1)
         # component 1: sum_k w_k (n . grad) conj(R), with the 1/sigma
         # chain-rule factor from normalised coordinates
-        m1 = jnp.sum(w[..., None] * jnp.conj(dy), axis=1) * inv_sigma[:, None]
+        m1r = jnp.sum(w[..., None] * dyr, axis=1) * inv_sigma[:, None]
+        m1i = -jnp.sum(w[..., None] * dyi, axis=1) * inv_sigma[:, None]
 
-        bc = fields["bc"]
-        m0 = m0 * (1.0 - bc)[:, None]
-        m1 = m1 * bc[:, None]
+        sel0 = (1.0 - fields["bc"])[:, None]
+        sel1 = fields["bc"][:, None]
         return jnp.stack(
-            [to_interleaved(m0), to_interleaved(m1)], axis=1
+            [
+                to_interleaved_ri(m0r * sel0, m0i * sel0),
+                to_interleaved_ri(m1r * sel1, m1i * sel1),
+            ],
+            axis=1,
         )  # [N, 2(comp), W]
 
     def l2p(self, fields, L, d_norm, inv_sigma, p):
         """Evaluate at panel centers: +r0 for POTENTIAL targets, -r1 for
         NORMAL_DERIV targets (ref L2P :448-476)."""
         del inv_sigma
-        y = eval_regular(d_norm, p)
+        re, im = eval_regular(d_norm, p)
         w = jnp.asarray(hm.term_weights(p), dtype=L.dtype)
-        re, im = jnp.real(y), jnp.imag(y)
         r0 = jnp.sum(w * (re_part(L[:, 0]) * re - im_part(L[:, 0]) * im), axis=-1)
         r1 = jnp.sum(w * (re_part(L[:, 1]) * re - im_part(L[:, 1]) * im), axis=-1)
         bc = fields["bc"]
@@ -107,9 +113,8 @@ class LaplaceBEMKernel:
 
     def m2p(self, fields, M, d_norm, inv_sigma, p):
         """Treecode/skew far-field evaluation (ref M2P :394-422)."""
-        s = eval_singular(d_norm, p)
+        re, im = eval_singular(d_norm, p)
         w = jnp.asarray(hm.term_weights(p), dtype=M.dtype)
-        re, im = jnp.real(s), jnp.imag(s)
         r0 = jnp.sum(w * (re_part(M[:, 0]) * re - im_part(M[:, 0]) * im), axis=-1)
         r1 = jnp.sum(w * (re_part(M[:, 1]) * re - im_part(M[:, 1]) * im), axis=-1)
         bc = fields["bc"]

@@ -30,16 +30,14 @@ from fmm_bem_tpu.kernels.laplace import (
     eval_singular,
     im_part,
     re_part,
-    to_interleaved,
+    to_interleaved_ri,
 )
 
 
-def _phys_potentials(E, y, w):
+def _phys_potentials(E, yr, yi, w):
     """Re(sum w * E * Y) for each of the 4 components: E [4, W]
-    interleaved, y [T] complex -> [4]."""
-    return jnp.sum(
-        w * (re_part(E) * jnp.real(y) - im_part(E) * jnp.imag(y)), axis=-1
-    )
+    interleaved, (yr, yi) [T] real pair -> [4]."""
+    return jnp.sum(w * (re_part(E) * yr - im_part(E) * yi), axis=-1)
 
 
 def tornberg_velocity(E, d_norm, inv_sigma, t_global, p, singular, scale):
@@ -52,8 +50,8 @@ def tornberg_velocity(E, d_norm, inv_sigma, t_global, p, singular, scale):
     w = jnp.asarray(hm.term_weights(p), dtype=E.dtype)
 
     def phis(d):
-        y = eval_singular(d, p) if singular else eval_regular(d, p)
-        ph = _phys_potentials(E, y, w)
+        yr, yi = eval_singular(d, p) if singular else eval_regular(d, p)
+        ph = _phys_potentials(E, yr, yi, w)
         return ph * inv_sigma if singular else ph
 
     ph = phis(d_norm)
@@ -96,14 +94,17 @@ class StokesKernel:
     def p2m(self, fields, charges, d_norm, inv_sigma, p):
         """4 harmonic moment sets: f_i and f.x_global (ref :123-146)."""
         del inv_sigma
-        yc = jnp.conj(eval_regular(d_norm, p))  # [N, T]
+        yr, yi = eval_regular(d_norm, p)  # [N, T]
         x = fields["xyz"]
         fdotx = jnp.sum(charges * x, axis=-1)
         comps = jnp.stack(
             [charges[:, 0], charges[:, 1], charges[:, 2], fdotx], axis=1
         )  # [N, 4]
-        mc = comps[:, :, None] * yc[:, None, :]
-        return to_interleaved(mc)
+        # conj(R): negate the imaginary plane
+        return to_interleaved_ri(
+            comps[:, :, None] * yr[:, None, :],
+            -comps[:, :, None] * yi[:, None, :],
+        )
 
     def l2p(self, fields, L, d_norm, inv_sigma, p):
         t = fields["xyz"]
@@ -161,27 +162,29 @@ class StressletKernel(StokesKernel):
         nv = charges[:, 3:]
         x = fields["xyz"]
 
-        _, dy_n = jax.jvp(
+        _, (dnr, dni) = jax.jvp(
             lambda z: eval_regular(z, p),
             (d_norm,),
             (jnp.broadcast_to(nv, d_norm.shape),),
         )
-        _, dy_g = jax.jvp(
+        _, (dgr, dgi) = jax.jvp(
             lambda z: eval_regular(z, p),
             (d_norm,),
             (jnp.broadcast_to(g, d_norm.shape),),
         )
-        rdotn = jnp.conj(dy_n) * inv_sigma[:, None]  # [N, T]
-        rdotg = jnp.conj(dy_g) * inv_sigma[:, None]
-        xdotg = jnp.sum(x * g, axis=-1)
-        ndotx = jnp.sum(nv * x, axis=-1)
+        # rdot* = (grad conj R).v : conj = negate im plane
+        rnr = dnr * inv_sigma[:, None]
+        rni = -dni * inv_sigma[:, None]
+        rgr = dgr * inv_sigma[:, None]
+        rgi = -dgi * inv_sigma[:, None]
+        xdotg = jnp.sum(x * g, axis=-1)[:, None]
+        ndotx = jnp.sum(nv * x, axis=-1)[:, None]
 
-        m0 = rdotn * g[:, 0:1] + rdotg * nv[:, 0:1]
-        m1 = rdotn * g[:, 1:2] + rdotg * nv[:, 1:2]
-        m2 = rdotn * g[:, 2:3] + rdotg * nv[:, 2:3]
-        m3 = rdotn * xdotg[:, None] + rdotg * ndotx[:, None]
-        mc = jnp.stack([m0, m1, m2, m3], axis=1)
-        return to_interleaved(mc)
+        coeff_n = jnp.stack([g[:, 0:1], g[:, 1:2], g[:, 2:3], xdotg], axis=1)
+        coeff_g = jnp.stack([nv[:, 0:1], nv[:, 1:2], nv[:, 2:3], ndotx], axis=1)
+        mr = rnr[:, None, :] * coeff_n + rgr[:, None, :] * coeff_g
+        mi = rni[:, None, :] * coeff_n + rgi[:, None, :] * coeff_g
+        return to_interleaved_ri(mr, mi)
 
     def p2p(self, tgt_xyz, src_xyz, charges):
         """u_i = (dx.n)/r^5 * dx_i (dx.g), dx = t - s (ref P2P :86-117)."""

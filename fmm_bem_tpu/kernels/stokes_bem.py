@@ -30,7 +30,7 @@ import numpy as np
 
 from fmm_bem_tpu.bem.quadrature import duffy_rule, get_rule
 from fmm_bem_tpu.kernels import harmonics as hm
-from fmm_bem_tpu.kernels.laplace import eval_regular, to_interleaved
+from fmm_bem_tpu.kernels.laplace import eval_regular, to_interleaved_ri
 from fmm_bem_tpu.kernels.stokes import tornberg_velocity
 
 #: BC flag values (ref StokesSphericalBEM Panel::BC)
@@ -178,40 +178,48 @@ class StokesBEMKernel:
         f = charges[:, None, :] * w[:, :, None]  # [N, K, 3] area*gw*q
         nv = jnp.broadcast_to(fields["normal"][:, None, :], qp_n.shape)
 
-        y, dy_n = jax.jvp(lambda z: eval_regular(z, p), (qp_n,), (nv,))
-        yc = jnp.conj(y)  # [N, K, T]
+        (yr, yi), (dnr, dni) = jax.jvp(
+            lambda z: eval_regular(z, p), (qp_n,), (nv,)
+        )
 
-        # stokeslet set (comps 0-3)
+        # stokeslet set (comps 0-3); conj(R) = (yr, -yi)
         fdotx = jnp.sum(f * qp_g, axis=-1)  # [N, K]
         st = jnp.stack([f[..., 0], f[..., 1], f[..., 2], fdotx], axis=2)
-        m_vel = jnp.sum(st[..., None] * yc[:, :, None, :], axis=1)  # [N,4,T]
+        mvr = jnp.sum(st[..., None] * yr[:, :, None, :], axis=1)  # [N,4,T]
+        mvi = -jnp.sum(st[..., None] * yi[:, :, None, :], axis=1)
 
         # stresslet set (comps 4-7): rdotn = (grad conj R).n_hat,
         # rdotg = (grad conj R).g2 with g2 = area*gw*q (ref :447-466)
         qb = jnp.broadcast_to(charges[:, None, :], qp_n.shape)
-        _, dy_q = jax.jvp(lambda z: eval_regular(z, p), (qp_n,), (qb,))
-        rdotn = jnp.conj(dy_n) * inv_sigma[:, None, None]  # [N, K, T]
-        rdotg = jnp.conj(dy_q) * (w * inv_sigma[:, None])[..., None]
-        xdotg = jnp.sum(qp_g * f, axis=-1)  # [N, K] = qp . g2
-        ndotx = jnp.sum(fields["normal"][:, None, :] * qp_g, axis=-1)
+        _, (dqr, dqi) = jax.jvp(lambda z: eval_regular(z, p), (qp_n,), (qb,))
+        rnr = dnr * inv_sigma[:, None, None]
+        rni = -dni * inv_sigma[:, None, None]
+        wg = (w * inv_sigma[:, None])[..., None]
+        rgr = dqr * wg
+        rgi = -dqi * wg
+        xdotg = jnp.sum(qp_g * f, axis=-1)[..., None]  # [N, K, 1]
+        ndotx = jnp.sum(fields["normal"][:, None, :] * qp_g, axis=-1)[..., None]
 
-        def comp(i):
-            return jnp.sum(
-                rdotn * f[..., i : i + 1] + rdotg * nv[..., i : i + 1], axis=1
+        def stress(i):
+            a = f[..., i : i + 1]
+            b = nv[..., i : i + 1]
+            return (
+                jnp.sum(rnr * a + rgr * b, axis=1),
+                jnp.sum(rni * a + rgi * b, axis=1),
             )
 
-        m7 = jnp.sum(rdotn * xdotg[..., None] + rdotg * ndotx[..., None], axis=1)
-        mc = jnp.stack(
-            [
-                m_vel[:, 0],
-                m_vel[:, 1],
-                m_vel[:, 2],
-                m_vel[:, 3],
-                comp(0),
-                comp(1),
-                comp(2),
-                m7,
-            ],
+        s4r, s4i = stress(0)
+        s5r, s5i = stress(1)
+        s6r, s6i = stress(2)
+        s7r = jnp.sum(rnr * xdotg + rgr * ndotx, axis=1)
+        s7i = jnp.sum(rni * xdotg + rgi * ndotx, axis=1)
+
+        mr = jnp.stack(
+            [mvr[:, 0], mvr[:, 1], mvr[:, 2], mvr[:, 3], s4r, s5r, s6r, s7r],
+            axis=1,
+        )
+        mi = jnp.stack(
+            [mvi[:, 0], mvi[:, 1], mvi[:, 2], mvi[:, 3], s4i, s5i, s6i, s7i],
             axis=1,
         )
 
@@ -219,8 +227,8 @@ class StokesBEMKernel:
         sel = jnp.concatenate(
             [jnp.repeat((1.0 - bc)[:, None], 4, 1), jnp.repeat(bc[:, None], 4, 1)],
             axis=1,
-        )
-        return to_interleaved(mc * sel[..., None])
+        )[..., None]
+        return to_interleaved_ri(mr * sel, mi * sel)
 
     def _eval_set(self, fields, E, d_norm, inv_sigma, p, singular):
         """Target-BC-selected Tornberg evaluation of the two sets."""

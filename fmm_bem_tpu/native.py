@@ -45,7 +45,7 @@ def get_lib():
     if not os.path.exists(_SO) and os.path.exists(_SRC):
         try:
             subprocess.run(
-                ["g++", "-O3", "-fPIC", "-std=c++17", "-shared", "-o", _SO, _SRC],
+                ["g++", "-O3", "-fPIC", "-std=c++17", "-fopenmp", "-shared", "-o", _SO, _SRC],
                 check=True,
                 capture_output=True,
                 timeout=120,
@@ -164,3 +164,49 @@ def near_coo(pairs, src_tree, tgt_tree):
         _ptr(cols),
     )
     return rows, cols
+
+
+def near_laplace(tgt_fields, src_fields, t_idx, s_idx, fine_K, kappa):
+    """Native Laplace/Yukawa BEM near-entry assembly -> (G, dGdn) or
+    None when the library is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "fmm_near_laplace"):
+        return None
+    from fmm_bem_tpu.bem.quadrature import get_rule
+
+    rows = _i32(t_idx)
+    cols = _i32(s_idx)
+    nnz = len(rows)
+    tc = _f64(tgt_fields["xyz"])
+    sc = _f64(src_fields["xyz"])
+    sv = _f64(src_fields["vertices"]).reshape(len(sc), 9)
+    sa = _f64(src_fields["area"])
+    sn = _f64(src_fields["normal"])
+    qp = _f64(np.asarray(src_fields["qp_off"]) + np.asarray(src_fields["xyz"])[:, None, :])
+    qw = _f64(src_fields["qw"])
+    K = qw.shape[1]
+    fp, fw = get_rule(fine_K)
+    fp = _f64(fp)
+    fw = _f64(fw)
+    G = np.empty(nnz, np.float64)
+    dG = np.empty(nnz, np.float64)
+    lib.fmm_near_laplace(
+        ctypes.c_int64(nnz),
+        _ptr(rows),
+        _ptr(cols),
+        _ptr(tc),
+        _ptr(sc),
+        _ptr(sv),
+        _ptr(sa),
+        _ptr(sn),
+        _ptr(qp),
+        _ptr(qw),
+        ctypes.c_int(K),
+        _ptr(fp),
+        _ptr(fw),
+        ctypes.c_int(len(fw)),
+        ctypes.c_double(kappa),
+        _ptr(G),
+        _ptr(dG),
+    )
+    return G, dG

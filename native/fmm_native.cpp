@@ -272,3 +272,190 @@ void fmm_near_coo_fill(int64_t npairs, const int32_t* pairs,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Laplace/Yukawa BEM near-field entry assembly (counterpart of
+// fmm_bem_tpu/bem/integrals.py near_entries_laplace + semi_analytical;
+// same selection rules as the reference's eval_G/eval_dGdn,
+// LaplaceSphericalBEM.hpp:159-264).
+
+namespace {
+
+struct V3 {
+  double x, y, z;
+  V3 operator-(const V3& o) const { return {x - o.x, y - o.y, z - o.z}; }
+  V3 operator+(const V3& o) const { return {x + o.x, y + o.y, z + o.z}; }
+  V3 operator*(double s) const { return {x * s, y * s, z * s}; }
+  double dot(const V3& o) const { return x * o.x + y * o.y + z * o.z; }
+  V3 cross(const V3& o) const {
+    return {y * o.z - z * o.y, z * o.x - x * o.z, x * o.y - y * o.x};
+  }
+  double norm() const { return std::sqrt(dot(*this)); }
+};
+
+// 5-point Gauss-Legendre on [-1, 1]
+const double kGx[5] = {-0.9061798459386640, -0.5384693101056831, 0.0,
+                       0.5384693101056831, 0.9061798459386640};
+const double kGw[5] = {0.2369268850561891, 0.4786286704993665,
+                       0.5688888888888889, 0.4786286704993665,
+                       0.2369268850561891};
+
+void line_int(double z, double x, double va, double vb, double kappa,
+              double* G, double* dG) {
+  double t1 = std::atan2(va, x), t2 = std::atan2(vb, x);
+  double dt = t2 - t1, tm = 0.5 * (t2 + t1);
+  double az = std::fabs(z);
+  double sz = az < 1e-10 ? 0.0 : (z > 0 ? 1.0 : -1.0);
+  double ekz = kappa ? std::exp(-kappa * az) : 1.0;
+  for (int i = 0; i < 5; ++i) {
+    double th = 0.5 * dt * kGx[i] + tm;
+    double rt = x / std::cos(th);
+    double R = std::sqrt(rt * rt + z * z);
+    double Rs = std::max(R, 1e-300);
+    if (kappa) {
+      double ekr = std::exp(-kappa * R);
+      *G += -kGw[i] * (ekr - ekz) / kappa * 0.5 * dt;
+      *dG += kGw[i] * (z / Rs * ekr - ekz * sz) * 0.5 * dt;
+    } else {
+      *G += kGw[i] * (R - az) * 0.5 * dt;
+      *dG += kGw[i] * (z / Rs - sz) * 0.5 * dt;
+    }
+  }
+}
+
+void int_side(double v1x, double v1y, double v2x, double v2y, double p,
+              double kappa, double* G, double* dG) {
+  double ex = v2x - v1x, ey = v2y - v1y;
+  double el = std::sqrt(ex * ex + ey * ey);
+  if (el < 1e-300) return;
+  ex /= el;
+  ey /= el;
+  double x = ex * v1y - ey * v1x;  // signed perpendicular coordinate
+  double y1 = v1x * ex + v1y * ey;
+  double y2 = v2x * ex + v2y * ey;
+  if (x < 0) {
+    x = -x;
+    y1 = -y1;
+    y2 = -y2;
+  }
+  if (x < 1e-14) return;
+  line_int(p, x, 0.0, y1, kappa, G, dG);
+  line_int(p, x, y2, 0.0, kappa, G, dG);
+}
+
+void semi_analytical_one(const V3& y0, const V3& y1, const V3& y2,
+                         const V3& xx, bool same, double kappa, double* G,
+                         double* dG) {
+  V3 X = y1 - y0;
+  V3 Z = (y1 - y0).cross(y2 - y0);
+  double xn = std::max(X.norm(), 1e-300), zn = std::max(Z.norm(), 1e-300);
+  X = X * (1.0 / xn);
+  Z = Z * (1.0 / zn);
+  V3 Y = Z.cross(X);
+  auto plane = [&](const V3& v, double* px, double* py, double* pz) {
+    V3 rel = v - y0;
+    *px = rel.dot(X);
+    *py = rel.dot(Y);
+    *pz = rel.dot(Z);
+  };
+  double xpx, xpy, xpz;
+  plane(xx, &xpx, &xpy, &xpz);
+  double p0x, p0y, p0z, p1x, p1y, p1z, p2x, p2y, p2z;
+  plane(y0, &p0x, &p0y, &p0z);
+  plane(y1, &p1x, &p1y, &p1z);
+  plane(y2, &p2x, &p2y, &p2z);
+  p0x -= xpx; p0y -= xpy;
+  p1x -= xpx; p1y -= xpy;
+  p2x -= xpx; p2y -= xpy;
+  *G = 0.0;
+  *dG = 0.0;
+  int_side(p0x, p0y, p1x, p1y, xpz, kappa, G, dG);
+  int_side(p1x, p1y, p2x, p2y, xpz, kappa, G, dG);
+  int_side(p2x, p2y, p0x, p0y, xpz, kappa, G, dG);
+  if (same) *dG = kappa ? -2.0 * M_PI : 2.0 * M_PI;
+}
+
+}  // namespace
+
+extern "C" {
+
+// fine_pts: [KF * 3] barycentric; fine_wts: [KF]
+void fmm_near_laplace(int64_t nnz, const int32_t* rows, const int32_t* cols,
+                      const double* t_centers, const double* s_centers,
+                      const double* s_verts, const double* s_area,
+                      const double* s_normal, const double* s_qp,
+                      const double* s_qw, int K, const double* fine_pts,
+                      const double* fine_wts, int KF, double kappa,
+                      double* G_out, double* dG_out) {
+#pragma omp parallel for schedule(static)
+  for (int64_t e = 0; e < nnz; ++e) {
+    int32_t r = rows[e], c = cols[e];
+    V3 t{t_centers[3 * r], t_centers[3 * r + 1], t_centers[3 * r + 2]};
+    V3 sc{s_centers[3 * c], s_centers[3 * c + 1], s_centers[3 * c + 2]};
+    double area = s_area[c];
+    V3 nrm{s_normal[3 * c], s_normal[3 * c + 1], s_normal[3 * c + 2]};
+    double dist = (t - sc).norm();
+    bool self_ = dist < 1e-8;
+    bool near = std::sqrt(2.0 * area) / std::max(dist, 1e-300) >= 0.5;
+    const double* v = s_verts + 9 * c;
+    V3 v0{v[0], v[1], v[2]}, v1{v[3], v[4], v[5]}, v2{v[6], v[7], v[8]};
+
+    // --- G (ref eval_G): SA when near, else K-point quadrature
+    double G;
+    if (near) {
+      double dg_unused;
+      semi_analytical_one(v0, v1, v2, t, self_, kappa, &G, &dg_unused);
+    } else {
+      G = 0.0;
+      for (int k = 0; k < K; ++k) {
+        V3 qp{s_qp[(3 * K) * c + 3 * k], s_qp[(3 * K) * c + 3 * k + 1],
+              s_qp[(3 * K) * c + 3 * k + 2]};
+        double rr = std::max((t - qp).norm(), 1e-100);
+        double g = kappa ? std::exp(-kappa * rr) / rr : 1.0 / rr;
+        G += s_qw[K * c + k] * g;
+      }
+      G *= area;
+    }
+
+    // --- dGdn (ref eval_dGdn): 2pi self; fine-K when near; else K-pt
+    double dG;
+    if (self_) {
+      dG = kappa ? -2.0 * M_PI : 2.0 * M_PI;
+    } else {
+      dG = 0.0;
+      if (near) {
+        for (int k = 0; k < KF; ++k) {
+          double l0 = fine_pts[3 * k], l1 = fine_pts[3 * k + 1],
+                 l2 = fine_pts[3 * k + 2];
+          V3 qp = v0 * l0 + v1 * l1 + v2 * l2;
+          V3 d = qp - t;
+          double r2 = std::max(d.dot(d), 1e-100);
+          double rr = std::sqrt(r2);
+          double dn = d.dot(nrm);
+          double val = kappa ? dn * (kappa * rr + 1.0) *
+                                   std::exp(-kappa * rr) / (r2 * rr)
+                             : dn / (r2 * rr);
+          dG += fine_wts[k] * val;
+        }
+      } else {
+        for (int k = 0; k < K; ++k) {
+          V3 qp{s_qp[(3 * K) * c + 3 * k], s_qp[(3 * K) * c + 3 * k + 1],
+                s_qp[(3 * K) * c + 3 * k + 2]};
+          V3 d = qp - t;
+          double r2 = std::max(d.dot(d), 1e-100);
+          double rr = std::sqrt(r2);
+          double dn = d.dot(nrm);
+          double val = kappa ? dn * (kappa * rr + 1.0) *
+                                   std::exp(-kappa * rr) / (r2 * rr)
+                             : dn / (r2 * rr);
+          dG += s_qw[K * c + k] * val;
+        }
+      }
+      dG *= area;
+    }
+    G_out[e] = G;
+    dG_out[e] = dG;
+  }
+}
+
+}  // extern "C"

@@ -471,6 +471,24 @@ class FmmPlan:
             d["near_rows"] = jnp.asarray(self.near_rows)
             d["near_cols"] = jnp.asarray(self.near_cols)
             d["near_vals"] = jnp.asarray(self.near_vals, dt)
+
+        def level_arrays(levels):
+            return [
+                [
+                    (
+                        (jnp.asarray(e[0]), jnp.asarray(e[1]))
+                        if e is not None
+                        else None
+                    )
+                    for e in per_class
+                ]
+                for per_class in levels
+            ]
+
+        d["src_levels"] = level_arrays(self.src.levels)
+        d["tgt_levels"] = (
+            d["src_levels"] if not self.dual else level_arrays(self.tgt.levels)
+        )
         return d
 
     def device_fields(self, fields=None, side="src"):
@@ -510,12 +528,11 @@ class FmmPlan:
             for c in range(8):
                 if per_class[c] is None:
                     continue
-                child_np, parent_np, mi = per_class[c]
-                mc = M[jnp.asarray(child_np)].reshape(len(child_np) * ncomp, W)
-                out = (mc @ d["m2m_mats"][mi].T).reshape(
-                    len(child_np), ncomp, W
-                )
-                M = M.at[jnp.asarray(parent_np)].add(out)
+                nch, _, mi = per_class[c]
+                ch, pa = d["src_levels"][lvl - 1][c]
+                mc = M[ch].reshape(len(nch) * ncomp, W)
+                out = (mc @ d["m2m_mats"][mi].T).reshape(len(nch), ncomp, W)
+                M = M.at[pa].add(out)
 
         res_m = jnp.zeros((tt.num_bodies, kern.result_dim), dt)
 
@@ -557,14 +574,11 @@ class FmmPlan:
                 for c in range(8):
                     if per_class[c] is None:
                         continue
-                    child_np, parent_np, mi = per_class[c]
-                    lp = L[jnp.asarray(parent_np)].reshape(
-                        len(parent_np) * ncomp, W
-                    )
-                    out = (lp @ d["l2l_mats"][mi].T).reshape(
-                        len(child_np), ncomp, W
-                    )
-                    L = L.at[jnp.asarray(child_np)].add(out)
+                    nch, _, mi = per_class[c]
+                    ch, pa = d["tgt_levels"][lvl - 1][c]
+                    lp = L[pa].reshape(len(nch) * ncomp, W)
+                    out = (lp @ d["l2l_mats"][mi].T).reshape(len(nch), ncomp, W)
+                    L = L.at[ch].add(out)
 
             # ---- L2P at target bodies
             Lb = L[d["t_body_leaf_box"]]
@@ -652,19 +666,22 @@ class FmmPlan:
         # the plan's buffers/matrices are allocated at config.max_p
         p = min(p, self.config.max_p)
         if p not in self._apply_cache:
-            d = self._device_data(p)
-
-            def f(sf, tf, q):
+            # device data is a jit ARGUMENT (not a closure capture):
+            # captured arrays would be embedded as compile-time
+            # constants, which bloats the module and cripples
+            # remote/AOT compilation paths
+            def f(d, sf, tf, q):
                 return self._matvec(d, sf, tf, q, p)
 
-            self._apply_cache[p] = jax.jit(f)
+            self._apply_cache[p] = (jax.jit(f), self._device_data(p))
+        fn, d = self._apply_cache[p]
         sf = self.device_fields(fields, "src")
         tf = (
             self.device_fields(target_fields, "tgt")
             if (self.dual or target_fields is not None)
             else sf
         )
-        return self._apply_cache[p](sf, tf, charges)
+        return fn(d, sf, tf, charges)
 
     def apply_flipped_bc(self, charges, p=None):
         """Matvec with every panel's BC flag flipped (the reference's

@@ -55,14 +55,16 @@ def shard_plan_arrays(plan, p, mesh, axis="sp"):
             return P(axis, *([None] * (arr.ndim - 1)))
         return P()  # replicate box tables, matrices, small lists
 
-    out_d = {}
-    for k, v in d.items():
-        if isinstance(v, list):
-            out_d[k] = [
-                jax.device_put(a, NamedSharding(mesh, P())) for a in v
-            ]
-        else:
-            out_d[k] = jax.device_put(v, NamedSharding(mesh, spec_for(k, v)))
+    import jax.tree_util as jtu
+
+    def place(k, v):
+        if isinstance(v, (list, tuple)):
+            return jtu.tree_map(
+                lambda a: jax.device_put(a, NamedSharding(mesh, P())), v
+            )
+        return jax.device_put(v, NamedSharding(mesh, spec_for(k, v)))
+
+    out_d = {k: place(k, v) for k, v in d.items()}
     out_f = {
         k: jax.device_put(v, NamedSharding(mesh, spec_for(k, v)))
         for k, v in fields.items()
@@ -79,12 +81,12 @@ def sharded_matvec(plan, p, mesh, axis="sp"):
     out_spec = NamedSharding(mesh, P(axis, None) if divisible else P())
 
     @jax.jit
-    def f(q):
-        return plan._matvec(d, fields, fields, q, p)
+    def f(d_, fl, q):
+        return plan._matvec(d_, fl, fl, q, p)
 
     def apply(q):
         q = jax.device_put(jnp.asarray(q, jnp.dtype(plan.config.dtype)), qspec)
-        return f(q)
+        return f(d, fields, q)
 
     apply.jitted = f
     apply.out_spec = out_spec
@@ -100,8 +102,8 @@ def sharded_solve_step(plan, p, mesh, axis="sp"):
     qspec = NamedSharding(mesh, P(axis) if divisible else P())
 
     @jax.jit
-    def step(v, basis):
-        w = plan._matvec(d, fields, fields, v, p)[:, 0]
+    def step(d_, fl, v, basis):
+        w = plan._matvec(d_, fl, fl, v, p)[:, 0]
         # modified Gram-Schmidt projections against the Krylov basis
         coeffs = basis @ w  # [k]
         w = w - coeffs @ basis
@@ -110,7 +112,7 @@ def sharded_solve_step(plan, p, mesh, axis="sp"):
 
     def apply(v, basis):
         v = jax.device_put(jnp.asarray(v, jnp.dtype(plan.config.dtype)), qspec)
-        return step(v, basis)
+        return step(d, fields, v, basis)
 
     apply.jitted = step
     return apply

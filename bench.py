@@ -16,7 +16,7 @@ import os
 import subprocess
 import sys
 
-REC = int(os.environ.get("FMM_BENCH_RECURSIONS", "6"))
+REC = int(os.environ.get("FMM_BENCH_RECURSIONS", "7"))
 TIMEOUT = int(os.environ.get("FMM_BENCH_TIMEOUT", "900"))
 
 

@@ -64,6 +64,14 @@ class FMMConfig:
     m2l_tile: int = 128
     #: chunk sizes bounding transient memory of gather-heavy ops
     p2p_chunk: int = 1024
+    #: near-field-only evaluation (no far field) — the preconditioner
+    #: operator mode (ref FMMOptions local_evaluation + EvalLocal/
+    #: EvalLocalSparse)
+    local_evaluation: bool = False
+    #: restrict the near field to leaf self-interaction blocks — the
+    #: block-Jacobi operator (ref FMMOptions block_diagonal +
+    #: EvalDiagonalSparse)
+    block_diagonal: bool = False
 
     def mac_accept(self, c1, r1, c2, r2):
         """Vectorised multipole-acceptance criterion (numpy arrays)."""

@@ -387,6 +387,9 @@ class FmmPlan:
         entry values are charge-independent, branchy, p-independent)."""
         st, tt = self.src.tree, self.tgt.tree
         pp = self.lists.p2p_pairs
+        if self.config.block_diagonal:
+            # leaf self-blocks only (ref EvalDiagonalSparse.hpp:34-50)
+            pp = pp[pp[:, 0] == pp[:, 1]]
         self.p2p_src_slot = self.src.box_to_slot[pp[:, 0]].astype(np.int32)
         self.p2p_tgt_slot = self.tgt.box_to_slot[pp[:, 1]].astype(np.int32)
 
@@ -535,6 +538,22 @@ class FmmPlan:
                 M = M.at[pa].add(out)
 
         res_m = jnp.zeros((tt.num_bodies, kern.result_dim), dt)
+
+        if self.config.local_evaluation or self.config.block_diagonal:
+            # near-field-only operator (ref EvalLocal(Sparse) /
+            # EvalDiagonalSparse): skip the entire far field
+            if self.near_rows is not None:
+                if len(self.near_rows):
+                    res_m = res_m + kern.near_matvec(
+                        d["near_vals"], d["near_rows"], d["near_cols"],
+                        tfields, qm, tt.num_bodies,
+                    )
+            elif len(self.p2p_src_slot):
+                res_m = res_m + self._p2p_pass(
+                    d, sfields, tfields, qm,
+                    len(self.tgt.leaf_ids), self.tgt.leaf_pad,
+                )
+            return jnp.zeros_like(res_m).at[d["t_perm"]].set(res_m)
 
         # ---- M2L: tiled class matmuls under one lax.scan.  Each tile
         # is [TS*ncomp, W] x [W, W] on the MXU; the local expansions

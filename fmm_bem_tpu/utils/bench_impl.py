@@ -17,7 +17,7 @@ import sys
 import time
 
 
-def run(backend="default", recursions=6, p=5, iters=10):
+def run(backend="default", recursions=7, p=5, iters=10):
     import jax
 
     if backend == "cpu":
@@ -56,6 +56,22 @@ def run(backend="default", recursions=6, p=5, iters=10):
     out.block_until_ready()
     dt = (time.time() - t0) / iters
 
+    # relaxed-GMRES solve wall-clock (the BASELINE.md secondary metric):
+    # first-kind sphere solve to 1e-5 with Bouras-Fraysse relaxation
+    from fmm_bem_tpu.config import SolverConfig
+    from fmm_bem_tpu.solver.gmres import gmres
+
+    b = np.asarray(plan.apply_flipped_bc(q, p=max(p, 8))[:, 0])
+    t0 = time.time()
+    x, info = gmres(
+        lambda v, pp: plan.apply(v, p=pp)[:, 0],
+        b,
+        config=SolverConfig(residual=1e-5, max_p=max(p, 8), max_iters=60,
+                            restart=60),
+    )
+    solve_s = time.time() - t0
+    sol_err = float(np.linalg.norm(np.asarray(x) - 1.0) / np.sqrt(n))
+
     value = (float(n) * float(n)) / dt
     return {
         "backend": platform,
@@ -64,6 +80,10 @@ def run(backend="default", recursions=6, p=5, iters=10):
         "matvec_s": dt,
         "build_s": build_s,
         "compile_s": compile_s,
+        "solve_s": solve_s,
+        "solve_iters": info.iterations,
+        "solve_converged": bool(info.converged),
+        "solution_err": sol_err,
         "value": value,
     }
 

@@ -99,3 +99,45 @@ def test_metrics_logger():
     assert rep["matvec"]["hits"] == 2
     assert rep["matvec"]["work"] == 200.0
     assert "rate_per_s" in rep["matvec"]
+
+
+def test_local_evaluation_mode():
+    """Near-field-only plan (ref EvalLocalSparse) equals the dense
+    near-field operator; block-diagonal plan keeps only leaf self
+    blocks (ref EvalDiagonalSparse)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    n = 800
+    pts = rng.uniform(0, 1, (n, 3))
+    q = rng.standard_normal(n)
+    K = LaplaceKernel()
+    full = FmmPlan(K, {"xyz": pts}, FMMConfig(ncrit=32, dtype="float64", max_p=6))
+    loc = FmmPlan(
+        K, {"xyz": pts},
+        FMMConfig(ncrit=32, dtype="float64", max_p=6, local_evaluation=True),
+    )
+    blk = FmmPlan(
+        K, {"xyz": pts},
+        FMMConfig(ncrit=32, dtype="float64", max_p=6, block_diagonal=True),
+    )
+    r_full = np.asarray(full.apply(q, p=6)[:, 0])
+    r_loc = np.asarray(loc.apply(q, p=6)[:, 0])
+    r_blk = np.asarray(blk.apply(q, p=6)[:, 0])
+    # local = full minus far field; both nonzero and different
+    assert not np.allclose(r_loc, r_full)
+    assert np.abs(r_loc).max() > 0
+    # block-diagonal result only involves same-leaf sources
+    t = blk.tree
+    # oracle: direct sum within each leaf
+    oracle = np.zeros(n)
+    qm = q[t.perm]
+    for b in t.leaves:
+        s0, c = t.box_body_start[b], t.box_body_count[b]
+        xs = t.points[s0 : s0 + c]
+        diff = xs[None] - xs[:, None]
+        r = np.sqrt((diff**2).sum(-1))
+        np.fill_diagonal(r, np.inf)
+        oracle_m = (1.0 / r) @ qm[s0 : s0 + c]
+        oracle[t.perm[s0 : s0 + c]] = oracle_m
+    assert np.allclose(r_blk, oracle, atol=1e-10)

@@ -496,13 +496,32 @@ class FmmPlan:
 
     def device_fields(self, fields=None, side="src"):
         dt = jnp.dtype(self.config.dtype)
-        base = (self.src if side == "src" else self.tgt).fields
-        src = base if fields is None else fields
-        return {
-            k: jnp.asarray(v, dt)
-            for k, v in src.items()
-            if k != "vertices"  # host-only geometry
-        }
+        if fields is None:
+            # cache the default-field device arrays: uploading them per
+            # matvec costs a host->device transfer every call
+            cache = getattr(self, "_devfields_cache", {})
+            if side not in cache:
+                base = (self.src if side == "src" else self.tgt).fields
+                cache[side] = {
+                    k: jnp.asarray(v, dt)
+                    for k, v in base.items()
+                    if k != "vertices"
+                }
+                self._devfields_cache = cache
+            return cache[side]
+        key = id(fields)
+        cache = getattr(self, "_fields_id_cache", {})
+        if key not in cache:
+            cache[key] = {
+                k: jnp.asarray(v, dt)
+                for k, v in fields.items()
+                if k != "vertices"  # host-only geometry
+            }
+            # bounded cache (flipped + a few overrides)
+            if len(cache) > 8:
+                cache.pop(next(iter(cache)))
+            self._fields_id_cache = cache
+        return cache[key]
 
     # ------------------------------------------------------------------
     # the matvec
@@ -704,14 +723,22 @@ class FmmPlan:
 
     def apply_flipped_bc(self, charges, p=None):
         """Matvec with every panel's BC flag flipped (the reference's
-        switch_BC RHS trick) — same plan, same compiled executable."""
-        sf = dict(self.src.fields)
-        sf["bc"] = 1.0 - np.asarray(sf["bc"])
-        if self.dual:
-            tf = dict(self.tgt.fields)
-            tf["bc"] = 1.0 - np.asarray(tf["bc"])
-        else:
-            tf = sf
+        switch_BC RHS trick) — same plan, same compiled executable.
+        The flipped device fields are cached like the defaults."""
+        if not hasattr(self, "_flipped_cache"):
+            def flip(side):
+                f = dict(side.fields)
+                f["bc"] = 1.0 - np.asarray(f["bc"])
+                return f
+
+            sf = flip(self.src)
+            tf = flip(self.tgt) if self.dual else sf
+            self._flipped_cache = (
+                self.device_fields(sf),
+                self.device_fields(tf) if self.dual else None,
+            )
+            self._flipped_host = (sf, tf)
+        sf, tf = self._flipped_host
         return self.apply(charges, p=p, fields=sf, target_fields=tf)
 
     # alias matching the reference naming (FMM_plan::execute)

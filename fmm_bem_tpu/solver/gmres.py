@@ -74,6 +74,8 @@ def gmres(
     p_fixed : disable relaxation and use this order for every matvec
         (the reference's ``-fixed_p`` flag, LaplaceBEM.cpp:120).
     """
+    import jax
+
     cfg = config or SolverConfig()
     b = jnp.asarray(b)
     n = b.shape[0]
@@ -90,6 +92,23 @@ def gmres(
     resid = 1.0
 
     restart = min(cfg.restart, cfg.max_iters, n)
+
+    # One fused device op per Arnoldi step: all modified-Gram-Schmidt
+    # projections against the stored basis matrix at once (a [i, n]
+    # matvec pair) — the reference's per-column dot loop
+    # (GMRES.hpp:203-208) would cost one device round-trip per column.
+    @jax.jit
+    def _ortho(Vbuf, w, i):
+        mask = (jnp.arange(Vbuf.shape[0]) <= i)[:, None]
+        Vm = jnp.where(mask, Vbuf, 0.0)
+        coeffs = Vm @ w
+        w = w - coeffs @ Vm
+        # one re-orthogonalisation pass for float32 robustness
+        c2 = Vm @ w
+        w = w - c2 @ Vm
+        beta = jnp.linalg.norm(w)
+        return w, coeffs + c2, beta
+
     while total_it < cfg.max_iters:
         # full-accuracy residual at (re)start (ref GMRES.hpp:175-182)
         r = b - matvec(x, cfg.max_p)
@@ -98,7 +117,7 @@ def gmres(
         if resid < cfg.residual:
             return x, SolveInfo(total_it, resid, True, history)
 
-        V = [r / beta]
+        Vbuf = jnp.zeros((restart + 1, n), b.dtype).at[0].set(r / beta)
         Z = []
         H = np.zeros((restart + 1, restart))
         cs = np.zeros(restart + 1)
@@ -112,19 +131,17 @@ def gmres(
                 break
             # ---- relaxation: predict p from current residual
             p = cfg.schedule_p(resid, p_fixed)
-            z = M(V[i])
+            z = M(Vbuf[i])
             if flexible:
                 Z.append(z)
             w = matvec(z, p)
-            # modified Gram-Schmidt (ref GMRES.hpp:203-208)
-            for k in range(i + 1):
-                H[k, i] = float(jnp.vdot(V[k], w))
-                w = w - H[k, i] * V[k]
-            H[i + 1, i] = float(jnp.linalg.norm(w))
+            w, coeffs, bnorm = _ortho(Vbuf, w, i)
+            H[: i + 1, i] = np.asarray(coeffs)[: i + 1]
+            H[i + 1, i] = float(bnorm)
             if H[i + 1, i] > 1e-300:
-                V.append(w / H[i + 1, i])
+                Vbuf = Vbuf.at[i + 1].set(w / H[i + 1, i])
             else:
-                V.append(w)
+                Vbuf = Vbuf.at[i + 1].set(w)
 
             # Givens update (ref GMRES.hpp:218-220)
             h = _apply_plane_rotations(H[: i + 2, i].copy(), cs, sn, i)
@@ -151,9 +168,7 @@ def gmres(
                 for k in range(m):
                     x = x + y[k] * Z[k]
             else:
-                dx = jnp.zeros_like(x)
-                for k in range(m):
-                    dx = dx + y[k] * V[k]
+                dx = jnp.asarray(y, b.dtype) @ Vbuf[:m]
                 x = x + M(dx)
         if resid < cfg.residual:
             return x, SolveInfo(total_it, resid, True, history)

@@ -39,7 +39,13 @@ def main():
     ap.add_argument("-pc", choices=["identity", "diagonal"], default="diagonal")
     ap.add_argument("-max_p", type=int, default=None)
     ap.add_argument("-dtype", default="float64")
+    ap.add_argument("-cpu", action="store_true", help="force host platform")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from fmm_bem_tpu.bem.panels import make_panels, switch_bc
     from fmm_bem_tpu.bem.triangulation import load_msh, unit_sphere

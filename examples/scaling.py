@@ -44,7 +44,13 @@ def main():
     ap.add_argument("-ncrit", type=int, default=125)  # ref "optimal ncrit"
     ap.add_argument("-ncrit_search", action="store_true")
     ap.add_argument("-seed", type=int, default=0)
+    ap.add_argument("-cpu", action="store_true", help="force host platform")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     import jax.numpy as jnp
 

@@ -39,7 +39,13 @@ def main():
     ap.add_argument("-dtype", default="float64")
     ap.add_argument("-out_prefix", default=None,
                     help="write out.face/out.vert/out.charge dumps")
+    ap.add_argument("-cpu", action="store_true", help="force host platform")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from fmm_bem_tpu.bem.panels import make_panels
     from fmm_bem_tpu.bem.triangulation import (

@@ -29,7 +29,13 @@ def main():
     ap.add_argument("-max_iters", type=int, default=500)
     ap.add_argument("-fixed_p", action="store_true")
     ap.add_argument("-dtype", default="float64")
+    ap.add_argument("-cpu", action="store_true", help="force host platform")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from fmm_bem_tpu.bem.panels import make_panels
     from fmm_bem_tpu.bem.triangulation import unit_sphere
@@ -73,11 +79,16 @@ def main():
     print(f"\nTIMING:\n\tsolve : {time.time()-t0:.4e}s "
           f"({info.iterations} its, residual {info.residual:.3e})")
 
-    # analytic: for the unit sphere with phi = 1, the screened
-    # first-kind solution is dphi/dn = -(1 + kappa) * ... the discrete
-    # solve is checked against the dense operator instead
+    # analytic check: with the reference's -2pi Yukawa self-term
+    # (SemiAnalytical.hpp:196-201) the equation is the INTERIOR screened
+    # problem; for phi = 1 on the unit sphere the interior solution is
+    # phi(r) = sinh(kappa r)/(r sinh kappa), so dphi/dn (inward normal
+    # orientation of the octahedron mesh) = -(kappa coth kappa - 1).
     x = np.asarray(x)
+    exact = -(args.kappa / np.tanh(args.kappa) - 1.0)
+    err = abs(x.mean() - exact) / abs(exact)
     print(f"solution mean dphi/dn: {x.mean():.6f}  std {x.std():.2e}")
+    print(f"analytic (interior): {exact:.6f}  rel. error: {err:.3e}")
 
 
 if __name__ == "__main__":

@@ -175,3 +175,25 @@ def test_yukawa_bem_matvec_and_solve():
     # oracle: dense solve of the same discrete system
     x_dense = np.linalg.solve(A, b)
     assert _rel(np.asarray(x), x_dense) < 1e-3
+
+
+def test_yukawa_bem_interior_physics():
+    """Screened first-kind sphere solve vs the interior analytic value
+    dphi/dn = -(kappa coth kappa - 1) (the -2pi Yukawa self-term makes
+    this the interior problem; ref SemiAnalytical.hpp:196-201)."""
+    kappa = 0.5
+    tris = unit_sphere(4)  # 512 panels
+    fields = make_panels(tris, K=3)
+    kern = YukawaBEMKernel(K=3, kappa=kappa)
+    plan = FmmPlan(kern, fields, FMMConfig(ncrit=32, dtype="float64", max_p=8))
+    n = len(tris)
+    b = np.asarray(plan.apply_flipped_bc(np.ones(n), p=8)[:, 0])
+    x, info = gmres(
+        lambda v, p: plan.apply(v, p=p)[:, 0],
+        b,
+        config=SolverConfig(residual=1e-7, max_p=8),
+    )
+    assert info.converged
+    exact = -(kappa / np.tanh(kappa) - 1.0)
+    got = float(np.asarray(x).mean())
+    assert abs(got - exact) / abs(exact) < 5e-2, (got, exact)

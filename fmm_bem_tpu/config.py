@@ -64,6 +64,11 @@ class FMMConfig:
     m2l_tile: int = 128
     #: chunk sizes bounding transient memory of gather-heavy ops
     p2p_chunk: int = 1024
+    #: evaluate the precomputed near field as bucketed dense leaf
+    #: panels (Pallas kernel on TPU) instead of a COO gather/scatter —
+    #: the TPU-native form of the reference's cached CSR
+    #: (EvalInteractionLazySparse.hpp:112)
+    near_panel: bool = True
     #: near-field-only evaluation (no far field) — the preconditioner
     #: operator mode (ref FMMOptions local_evaluation + EvalLocal/
     #: EvalLocalSparse)

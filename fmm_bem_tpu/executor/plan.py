@@ -380,6 +380,14 @@ class FmmPlan:
             self.m2l_tile_cls = np.zeros(0, np.int32)
         self.m2l_tile_size = TS
         self.m2l_tile_group = G
+        # scatter-free pair -> target-box reduction plan
+        from fmm_bem_tpu.ops.bucket_sum import build_bucket_sum
+
+        self.m2l_bsum = build_bucket_sum(
+            self.m2l_tile_tgt,
+            len(self.m2l_tile_src),
+            self.tgt.tree.num_boxes,
+        )
 
     def _build_near(self):
         """P2P leaf pairs and, for BEM kernels, the precomputed sparse
@@ -418,6 +426,49 @@ class FmmPlan:
             self.near_vals = self.kernel.near_values(
                 self.tgt.fields, self.src.fields, rows, cols
             )
+        self._near_panel_cache = {}
+        self._near_meta = None
+        self._use_panels = (
+            self.config.near_panel
+            and self.near_rows is not None
+            and len(self.near_rows) > 0
+            and hasattr(self.kernel, "near_select")
+        )
+
+    def near_panels(self, tgt_fields_host=None):
+        """Bucketed leaf-panel form of the near field for one BC
+        variant (see ops/near_panel.py) — device arrays, cached per
+        variant.  Returns (device_dict, meta) or (None, None)."""
+        if not self._use_panels:
+            return None, None
+        from fmm_bem_tpu.ops.near_panel import build_near_panels
+
+        tf = tgt_fields_host if tgt_fields_host is not None else \
+            self.tgt.fields
+        bc = np.asarray(tf.get("bc", np.zeros(0)))
+        key = bc.tobytes()
+        if key not in self._near_panel_cache:
+            vsel = self.kernel.near_select(
+                self.near_vals, bc[self.near_rows] if len(bc) else None
+            )
+            panels = build_near_panels(
+                self.p2p_src_slot,
+                self.p2p_tgt_slot,
+                self.near_rows,
+                self.near_cols,
+                vsel,
+                self.src,
+                self.tgt,
+                len(self.tgt.leaf_ids),
+                dtype=np.dtype(self.config.dtype),
+            )
+            self._near_meta = panels
+            self._near_panel_cache[key] = panels.device(self.config.dtype)
+            if len(self._near_panel_cache) > 4:
+                self._near_panel_cache.pop(
+                    next(iter(self._near_panel_cache))
+                )
+        return self._near_panel_cache[key], self._near_meta
 
     # ------------------------------------------------------------------
     # device data per p-tier
@@ -428,6 +479,24 @@ class FmmPlan:
         W = self.kernel.width(p)
         return mats[..., :W, :W]
 
+    def _slice_mats_flat(self, mats, p):
+        """Per-tier translation matrices in the FLAT expansion layout:
+        kron(I_ncomp, mat[:W,:W]) so [*, ncomp*W] expansions translate
+        with one matmul and no 3-D reshapes.
+
+        Why flat: TPU arrays are tiled on their last TWO dims (8x128
+        for f32), so a [n, ncomp, W] expansion table physically pads
+        ncomp->8 and W->128 — a measured ~17x memory inflation that
+        made even elementwise ops dominate the matvec.  [n, ncomp*W]
+        pads only the lane dim."""
+        W = self.kernel.width(p)
+        c = self.kernel.ncomp
+        m = mats[..., :W, :W]
+        out = np.zeros(m.shape[:-2] + (c * W, c * W), m.dtype)
+        for ci in range(c):
+            out[..., ci * W : (ci + 1) * W, ci * W : (ci + 1) * W] = m
+        return out
+
     def _device_data(self, p):
         cfg = self.config
         dt = jnp.dtype(cfg.dtype)
@@ -436,6 +505,10 @@ class FmmPlan:
             return {
                 f"{prefix}xyz": jnp.asarray(side.tree.points, dt),
                 f"{prefix}perm": jnp.asarray(side.tree.perm, jnp.int32),
+                f"{prefix}inv_perm": jnp.asarray(
+                    np.argsort(side.tree.perm).astype(np.int32)
+                ),
+                f"{prefix}leaf_ids": jnp.asarray(side.leaf_ids),
                 f"{prefix}body_dnorm": jnp.asarray(side.body_dnorm, dt),
                 f"{prefix}body_inv_sigma": jnp.asarray(side.body_inv_sigma, dt),
                 f"{prefix}body_leaf_box": jnp.asarray(side.body_leaf_box),
@@ -450,18 +523,19 @@ class FmmPlan:
         d.update(
             {
                 "m2m_mats": jnp.asarray(
-                    self._slice_mats(self.src.m2m_mats, p), dt
+                    self._slice_mats_flat(self.src.m2m_mats, p), dt
                 ),
                 "l2l_mats": jnp.asarray(
-                    self._slice_mats(self.tgt.l2l_mats, p), dt
+                    self._slice_mats_flat(self.tgt.l2l_mats, p), dt
                 ),
                 "m2l_mats": jnp.asarray(
-                    self._slice_mats(self.m2l_classes.mats, p), dt
+                    self._slice_mats_flat(self.m2l_classes.mats, p), dt
                 ),
                 "m2l_tile_src": jnp.asarray(self.m2l_tile_src),
                 "m2l_tile_tgt": jnp.asarray(self.m2l_tile_tgt),
                 "m2l_tile_scale": jnp.asarray(self.m2l_tile_scale, dt),
                 "m2l_tile_cls": jnp.asarray(self.m2l_tile_cls),
+                "m2l_bsum": self.m2l_bsum.device(),
                 "p2p_src_slot": jnp.asarray(self.p2p_src_slot),
                 "p2p_tgt_slot": jnp.asarray(self.p2p_tgt_slot),
                 "m2p_src": jnp.asarray(self.m2p_src),
@@ -470,7 +544,9 @@ class FmmPlan:
                 "s_box_center": jnp.asarray(self.src.tree.box_center, dt),
             }
         )
-        if self.near_rows is not None:
+        if self.near_rows is not None and not self._use_panels:
+            # COO upload only when the panel path is off: the panel
+            # arrays replace it entirely
             d["near_rows"] = jnp.asarray(self.near_rows)
             d["near_cols"] = jnp.asarray(self.near_cols)
             d["near_vals"] = jnp.asarray(self.near_vals, dt)
@@ -526,8 +602,119 @@ class FmmPlan:
     # ------------------------------------------------------------------
     # the matvec
     # ------------------------------------------------------------------
-    def _matvec(self, d, sfields, tfields, q, p):
+    def variant_aux(self, p, src_host=None, tgt_host=None):
+        """Per-(BC-variant, p) device auxiliaries: near panels + the
+        precomputed linear P2M / L2P tables.
+
+        P2M and L2P are linear maps (multipole of a charge distribution
+        / evaluation of a local expansion), but their harmonic
+        recurrences are recomputed per call if left inline — XLA does
+        not hoist them out of solver loops.  The tables bake them once:
+            P2M:  contrib = q * T_p2m         (unit-charge trick)
+            L2P:  res     = sum_cw L * T_l2p  (kernel-provided table)
+        Tables depend on the BC flags (component selection), hence the
+        per-variant cache keyed like the near panels.
+        """
+        import jax
+
         kern = self.kernel
+        sfh = src_host if src_host is not None else self.src.fields
+        tfh = tgt_host if tgt_host is not None else self.tgt.fields
+        bc_s = np.asarray(sfh.get("bc", np.zeros(0)))
+        bc_t = np.asarray(tfh.get("bc", np.zeros(0)))
+        p = min(int(p), self.config.max_p)
+        key = (bc_s.tobytes(), bc_t.tobytes(), p)
+        cache = getattr(self, "_aux_cache", {})
+        if key in cache:
+            return cache[key]
+
+        aux = {}
+        panels, _ = self.near_panels(tfh)
+        if panels is not None:
+            aux["panels"] = panels
+
+        dt = jnp.dtype(self.config.dtype)
+        pmax = self.config.max_p
+        W = kern.width(p)
+        cdim = getattr(kern, "charge_dim", 1)
+        full_key = (bc_s.tobytes(), bc_t.tobytes(), pmax)
+        if getattr(kern, "linear_p2m", True):
+            fcache = getattr(self, "_p2m_tab_cache", {})
+            if full_key not in fcache:
+                sfd = self.device_fields(
+                    sfh if src_host is not None else None, "src"
+                )
+                dn = jnp.asarray(self.src.body_dnorm, dt)
+                isig = jnp.asarray(self.src.body_inv_sigma, dt)
+                n = self.src.tree.num_bodies
+
+                @jax.jit
+                def tab_fn(sfd, dn, isig):
+                    if cdim == 1:
+                        return kern.p2m(
+                            sfd, jnp.ones(n, dt), dn, isig, pmax
+                        )
+                    cols = []
+                    for c in range(cdim):
+                        e = jnp.zeros((n, cdim), dt).at[:, c].set(1.0)
+                        cols.append(kern.p2m(sfd, e, dn, isig, pmax))
+                    return jnp.stack(cols)  # [cdim, n, ncomp, W]
+
+                fcache[full_key] = tab_fn(sfd, dn, isig)
+                self._p2m_tab_cache = fcache
+                if len(fcache) > 4:
+                    fcache.pop(next(iter(fcache)))
+            t3 = fcache[full_key][..., :W]  # [(cdim,) n, ncomp, W]
+            aux["p2m_tab"] = t3.reshape(t3.shape[:-2] + (-1,))
+        if hasattr(kern, "l2p_table"):
+            lcache = getattr(self, "_l2p_tab_cache", {})
+            if full_key not in lcache:
+                tfd = self.device_fields(
+                    tfh if tgt_host is not None else None,
+                    "tgt" if self.dual else "src",
+                )
+                dn = jnp.asarray(self.tgt.body_dnorm, dt)
+                isig = jnp.asarray(self.tgt.body_inv_sigma, dt)
+                lcache[full_key] = jax.jit(
+                    lambda f, dn, isig: kern.l2p_table(f, dn, isig, pmax)
+                )(tfd, dn, isig)
+                self._l2p_tab_cache = lcache
+                if len(lcache) > 4:
+                    lcache.pop(next(iter(lcache)))
+            t4 = lcache[full_key][..., :W, :]  # [n, ncomp, W, rdim]
+            aux["l2p_tab"] = t4.reshape(t4.shape[0], -1, t4.shape[-1])
+        cache[key] = aux
+        if len(cache) > 8:
+            cache.pop(next(iter(cache)))
+        self._aux_cache = cache
+        return aux
+
+    def _near_pass(self, d, panels, tfields, qm):
+        """Near field from the bucketed leaf panels (Pallas on TPU):
+        leaf-tiled charges -> one dense row-panel contraction per target
+        leaf -> body rows.  Replaces the COO gather/scatter replay,
+        which runs at scalar speed on TPU."""
+        from fmm_bem_tpu.ops.near_panel import panel_matvec
+
+        kern = self.kernel
+        cdim = getattr(kern, "charge_dim", 1)
+        rdim = kern.result_dim
+        nl_t = len(self.tgt.leaf_ids)
+        K_t = self.tgt.leaf_pad
+        qg = qm[d["s_leaf_body_idx"]]
+        mask = d["s_leaf_body_mask"]
+        if cdim > 1:
+            qg = jnp.where(mask[..., None], qg, 0.0)
+            ql = qg.reshape(qg.shape[0], qg.shape[1] * cdim)
+        else:
+            ql = jnp.where(mask, qg, 0.0)
+        out_leaf = panel_matvec(panels, self._near_meta, ql)
+        return out_leaf.reshape(nl_t * K_t, rdim)[d["t_body_flat_slot"]]
+
+    def _matvec(self, d, sfields, tfields, q, p, aux=None):
+        kern = self.kernel
+        aux = aux or {}
+        panels = aux.get("panels")
         st, tt = self.src.tree, self.tgt.tree
         W = kern.width(p)
         dt = jnp.dtype(self.config.dtype)
@@ -536,12 +723,34 @@ class FmmPlan:
 
         qm = jnp.asarray(q, dt)[d["s_perm"]]
 
-        # ---- P2M (ref EvalInteractionLazy.hpp:254-260, batched)
-        contrib = kern.p2m(
-            sfields, qm, d["s_body_dnorm"], d["s_body_inv_sigma"], p
+        # ---- P2M (ref EvalInteractionLazy.hpp:254-260, batched).
+        # Linear-map table when available (charges x precomputed
+        # per-body expansion contributions), else the kernel op.
+        # Leaf-tile reduction instead of a per-element segment_sum:
+        # bodies are gathered into [nl, K] leaf tiles and summed densely
+        # (TPU scatter-adds run at scalar speed), then ONE row scatter
+        # of nl leaf expansions into the box table.
+        # Expansions live FLAT as [*, ncomp*W] — see _slice_mats_flat
+        # for the layout rationale (TPU minor-dim tiling).
+        ncomp = kern.ncomp
+        cW = ncomp * W
+        if "p2m_tab" in aux:
+            tab = aux["p2m_tab"]  # [n, cW] or [cdim, n, cW]
+            if qm.ndim == 1:
+                contrib = qm[:, None] * tab
+            else:
+                contrib = jnp.einsum("nc,cnw->nw", qm, tab)
+        else:
+            contrib = kern.p2m(
+                sfields, qm, d["s_body_dnorm"], d["s_body_inv_sigma"], p
+            ).reshape(-1, cW)
+        ct = contrib[d["s_leaf_body_idx"]]
+        ct = jnp.where(d["s_leaf_body_mask"][..., None], ct, 0.0)
+        M = (
+            jnp.zeros((st.num_boxes, cW), dt)
+            .at[d["s_leaf_ids"]]
+            .set(jnp.sum(ct, axis=1))
         )
-        M = _seg_sum(contrib, d["s_body_leaf_box"], st.num_boxes)
-        ncomp = M.shape[1]
 
         # ---- M2M bottom-up (level-synchronous octant-class matmuls;
         # replaces the reference's serial child->parent walk)
@@ -552,9 +761,7 @@ class FmmPlan:
                     continue
                 nch, _, mi = per_class[c]
                 ch, pa = d["src_levels"][lvl - 1][c]
-                mc = M[ch].reshape(len(nch) * ncomp, W)
-                out = (mc @ d["m2m_mats"][mi].T).reshape(len(nch), ncomp, W)
-                M = M.at[pa].add(out)
+                M = M.at[pa].add(M[ch] @ d["m2m_mats"][mi].T)
 
         res_m = jnp.zeros((tt.num_bodies, kern.result_dim), dt)
 
@@ -562,7 +769,9 @@ class FmmPlan:
             # near-field-only operator (ref EvalLocal(Sparse) /
             # EvalDiagonalSparse): skip the entire far field
             if self.near_rows is not None:
-                if len(self.near_rows):
+                if panels is not None:
+                    res_m = res_m + self._near_pass(d, panels, tfields, qm)
+                elif len(self.near_rows):
                     res_m = res_m + kern.near_matvec(
                         d["near_vals"], d["near_rows"], d["near_cols"],
                         tfields, qm, tt.num_bodies,
@@ -572,38 +781,27 @@ class FmmPlan:
                     d, sfields, tfields, qm,
                     len(self.tgt.leaf_ids), self.tgt.leaf_pad,
                 )
-            return jnp.zeros_like(res_m).at[d["t_perm"]].set(res_m)
+            return res_m[d["t_inv_perm"]]
 
-        # ---- M2L: tiled class matmuls under one lax.scan.  Each tile
-        # is [TS*ncomp, W] x [W, W] on the MXU; the local expansions
-        # accumulate in the scan carry so transient memory stays O(tile)
+        # ---- M2L: ONE batched class matmul over all pair tiles (each
+        # tile is [TS*ncomp, W] x [W, W] on the MXU), then a scatter-free
+        # bucketed gather-sum into target locals (ops/bucket_sum.py) —
+        # the scatter-add this replaces dominated the whole matvec.
         npairs_pad = len(self.m2l_tile_src)
         if npairs_pad:
+            from fmm_bem_tpu.ops.bucket_sum import bucket_sum_apply
+
             TS = self.m2l_tile_size
-            G = self.m2l_tile_group
-            ngroups = npairs_pad // (TS * G)
-            src_t = d["m2l_tile_src"].reshape(ngroups, G, TS)
-            tgt_t = d["m2l_tile_tgt"].reshape(ngroups, G * TS)
-            scl_t = d["m2l_tile_scale"].reshape(ngroups, G, TS)
-            cls_t = d["m2l_tile_cls"].reshape(ngroups, G)
-            L0 = jnp.zeros((tt.num_boxes + 1, ncomp, W), dt)
-
-            def group_step(L, xs):
-                sidx, tidx, scl, ci = xs
-                ms = M[sidx].reshape(G, TS * ncomp, W)
-                mats = d["m2l_mats"][ci]  # [G, W, W]
-                out = jnp.einsum(
-                    "gpw,gvw->gpv", ms, mats
-                ).reshape(G, TS, ncomp, W)
-                out = out * scl[:, :, None, None]
-                return L.at[tidx].add(out.reshape(G * TS, ncomp, W)), None
-
-            L, _ = jax.lax.scan(
-                group_step, L0, (src_t, tgt_t, scl_t, cls_t)
+            ntile = npairs_pad // TS
+            Mg = M[d["m2l_tile_src"]].reshape(ntile, TS, cW)
+            mats = d["m2l_mats"][d["m2l_tile_cls"]]  # [ntile, cW, cW]
+            outp = jnp.einsum("tpw,tvw->tpv", Mg, mats).reshape(
+                npairs_pad, cW
             )
-            L = L[:-1]  # drop the padded-pair dummy box
+            outp = outp * d["m2l_tile_scale"][:, None]
+            L = bucket_sum_apply(d["m2l_bsum"], outp)
         else:
-            L = jnp.zeros((tt.num_boxes, ncomp, W), dt)
+            L = jnp.zeros((tt.num_boxes, cW), dt)
 
         if self.config.evaluator == Evaluator.FMM:
             # ---- L2L top-down (target tree)
@@ -614,23 +812,34 @@ class FmmPlan:
                         continue
                     nch, _, mi = per_class[c]
                     ch, pa = d["tgt_levels"][lvl - 1][c]
-                    lp = L[pa].reshape(len(nch) * ncomp, W)
-                    out = (lp @ d["l2l_mats"][mi].T).reshape(len(nch), ncomp, W)
-                    L = L.at[ch].add(out)
+                    L = L.at[ch].add(L[pa] @ d["l2l_mats"][mi].T)
 
-            # ---- L2P at target bodies
+            # ---- L2P at target bodies (precomputed linear table when
+            # the kernel provides one)
             Lb = L[d["t_body_leaf_box"]]
-            res_m = res_m + kern.l2p(
-                tfields, Lb, d["t_body_dnorm"], d["t_body_inv_sigma"], p
-            )
+            if "l2p_tab" in aux:
+                res_m = res_m + jnp.einsum(
+                    "nw,nwr->nr", Lb, aux["l2p_tab"]
+                )
+            else:
+                res_m = res_m + kern.l2p(
+                    tfields,
+                    Lb.reshape(-1, ncomp, W),
+                    d["t_body_dnorm"],
+                    d["t_body_inv_sigma"],
+                    p,
+                )
 
         # ---- M2P (treecode far field and/or skew fallback)
         if len(self.m2p_src):
             res_m = res_m + self._m2p_pass(d, tfields, M, p, nl_t, K_t, dt)
 
-        # ---- near field: precomputed sparse values (BEM) or direct P2P
+        # ---- near field: bucketed leaf panels (BEM, Pallas on TPU),
+        # precomputed sparse values (fallback), or direct P2P
         if self.near_rows is not None:
-            if len(self.near_rows):
+            if panels is not None:
+                res_m = res_m + self._near_pass(d, panels, tfields, qm)
+            elif len(self.near_rows):
                 res_m = res_m + kern.near_matvec(
                     d["near_vals"],
                     d["near_rows"],
@@ -642,9 +851,8 @@ class FmmPlan:
         elif len(self.p2p_src_slot):
             res_m = res_m + self._p2p_pass(d, sfields, tfields, qm, nl_t, K_t)
 
-        # back to user ordering
-        out = jnp.zeros_like(res_m).at[d["t_perm"]].set(res_m)
-        return out
+        # back to user ordering (inverse-permutation GATHER, not scatter)
+        return res_m[d["t_inv_perm"]]
 
     def _m2p_pass(self, d, tfields, M, p, nl, K, dt):
         kern = self.kernel
@@ -655,7 +863,8 @@ class FmmPlan:
         centers = d["s_box_center"][src_ids]
         inv_sig = d["m2p_inv_sigma"]
         dn = (txyz - centers[:, None, :]) * inv_sig[:, None, None]
-        Ms = M[src_ids]
+        # flat [*, ncomp*W] expansions -> per-box [ncomp, W] views
+        Ms = M[src_ids].reshape(-1, kern.ncomp, kern.width(p))
 
         def one_pair(m, dnp, isig, fields_rows):
             mb = jnp.broadcast_to(m, (K,) + m.shape)
@@ -708,24 +917,79 @@ class FmmPlan:
             # captured arrays would be embedded as compile-time
             # constants, which bloats the module and cripples
             # remote/AOT compilation paths
-            def f(d, sf, tf, q):
-                return self._matvec(d, sf, tf, q, p)
+            def f(d, aux, sf, tf, q):
+                return self._matvec(d, sf, tf, q, p, aux=aux)
 
-            self._apply_cache[p] = (jax.jit(f), self._device_data(p))
+            self._apply_cache[p] = (jax.jit(f), self.device_data(p))
         fn, d = self._apply_cache[p]
+        host_tgt = (
+            target_fields
+            if target_fields is not None
+            else (fields if fields is not None and not self.dual else None)
+        )
+        aux = self.variant_aux(p, src_host=fields, tgt_host=host_tgt)
         sf = self.device_fields(fields, "src")
         tf = (
             self.device_fields(target_fields, "tgt")
             if (self.dual or target_fields is not None)
             else sf
         )
-        return fn(d, sf, tf, charges)
+        return fn(d, aux, sf, tf, charges)
 
-    def apply_flipped_bc(self, charges, p=None):
-        """Matvec with every panel's BC flag flipped (the reference's
-        switch_BC RHS trick) — same plan, same compiled executable.
-        The flipped device fields are cached like the defaults."""
-        if not hasattr(self, "_flipped_cache"):
+    def device_data(self, p):
+        """Per-order device arrays (cached): translation matrices are
+        prefix-sliced to width(p), lists/indices are shared."""
+        cache = getattr(self, "_ddata_cache", {})
+        if p not in cache:
+            cache[p] = self._device_data(p)
+            self._ddata_cache = cache
+        return cache[p]
+
+    def solver_ops(self, flipped=False):
+        """Pure-function operator form for the device-resident solver
+        (solver.gmres.gmres_device): returns ``(matvec, operand_for_p)``
+        with ``matvec(operand, x, p)`` traceable at static p.
+
+        ``flipped=True`` applies the BC-flipped operator (the reference's
+        switch_BC system matrix, LaplaceBEM.cpp:218-232).  Vector-valued
+        kernels (Stokes, result_dim=c) see the solver vector as the
+        flattened [n*c] layout (ref GMRES_Stokes.hpp VecToArray/
+        ArrayToVec :85-110).
+        """
+        rdim = getattr(self.kernel, "result_dim", 1)
+        cdim = getattr(self.kernel, "charge_dim", 1)
+        n = self.src.tree.num_bodies
+
+        if flipped:
+            sfh, tfh = self._flipped_fields()
+            sf = self.device_fields(sfh)
+            tf = self.device_fields(tfh) if self.dual else sf
+        else:
+            sfh = tfh = None
+            sf = self.device_fields(None, "src")
+            tf = self.device_fields(None, "tgt") if self.dual else sf
+
+        def operand_for_p(p):
+            p = min(int(p), self.config.max_p)
+            aux = self.variant_aux(p, src_host=sfh, tgt_host=tfh)
+            return (self.device_data(p), aux, sf, tf)
+
+        def matvec(operand, x, p):
+            d, aux, sfo, tfo = operand
+            q = x if cdim == 1 else x.reshape(-1, cdim)
+            out = self._matvec(
+                d, sfo, tfo, q, min(int(p), self.config.max_p),
+                aux=aux,
+            )
+            return out[:, 0] if rdim == 1 else out.reshape(-1)
+
+        return matvec, operand_for_p
+
+    def _flipped_fields(self):
+        """Host field dicts with every panel's BC flag flipped (the
+        reference's switch_BC trick) — cached so the derived device
+        arrays are reused across calls."""
+        if not hasattr(self, "_flipped_host"):
             def flip(side):
                 f = dict(side.fields)
                 f["bc"] = 1.0 - np.asarray(f["bc"])
@@ -733,12 +997,14 @@ class FmmPlan:
 
             sf = flip(self.src)
             tf = flip(self.tgt) if self.dual else sf
-            self._flipped_cache = (
-                self.device_fields(sf),
-                self.device_fields(tf) if self.dual else None,
-            )
             self._flipped_host = (sf, tf)
-        sf, tf = self._flipped_host
+        return self._flipped_host
+
+    def apply_flipped_bc(self, charges, p=None):
+        """Matvec with every panel's BC flag flipped (the reference's
+        switch_BC RHS trick) — same plan, same compiled executable.
+        The flipped device fields are cached like the defaults."""
+        sf, tf = self._flipped_fields()
         return self.apply(charges, p=p, fields=sf, target_fields=tf)
 
     # alias matching the reference naming (FMM_plan::execute)

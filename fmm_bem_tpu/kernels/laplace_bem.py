@@ -111,6 +111,19 @@ class LaplaceBEMKernel:
         bc = fields["bc"]
         return jnp.where(bc == 0.0, r0, -r1)[:, None]
 
+    def l2p_table(self, fields, d_norm, inv_sigma, p):
+        """Precomputed linear L2P map: res[n] = sum_cw L[n,c,w] T[n,c,w]
+        (charge-independent — evaluated once per BC variant so the
+        harmonic recurrences never re-run inside solver loops)."""
+        del inv_sigma
+        re, im = eval_regular(d_norm, p)
+        w = jnp.asarray(hm.term_weights(p), dtype=re.dtype)
+        base = to_interleaved_ri(w * re, -(w * im))  # [n, W]
+        bc = fields["bc"][:, None]
+        t0 = jnp.where(bc == 0.0, base, 0.0)
+        t1 = jnp.where(bc == 0.0, 0.0, -base)
+        return jnp.stack([t0, t1], axis=1)[..., None]  # [n, 2, W, 1]
+
     def m2p(self, fields, M, d_norm, inv_sigma, p):
         """Treecode/skew far-field evaluation (ref M2P :394-422)."""
         re, im = eval_singular(d_norm, p)
@@ -135,6 +148,11 @@ class LaplaceBEMKernel:
         bc_rows = fields["bc"][rows]
         v = jnp.where(bc_rows == 0.0, vals[:, 0], vals[:, 1])
         return _seg_sum(v * qm[cols], rows, n)[:, None]
+
+    def near_select(self, vals, bc_rows):
+        """Host-side BC selection of near entries for the leaf-panel
+        path (G for POTENTIAL rows, dGdn for NORMAL_DERIV rows)."""
+        return np.where(np.asarray(bc_rows) == 0.0, vals[:, 0], vals[:, 1])
 
     # ----- dense oracle (ref Direct.hpp over panel kernels) -----
     def dense_matrix(self, fields):

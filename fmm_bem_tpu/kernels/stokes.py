@@ -152,6 +152,10 @@ class StressletKernel(StokesKernel):
     name = "stresslet"
     charge_dim = 6
     scale = 1.0 / 6.0
+    #: P2M mixes g and n components (g_i n_j products) — BILINEAR in
+    #: the packed 6-vector, so the executor's unit-charge linear-table
+    #: shortcut does not apply
+    linear_p2m = False
 
     def p2m(self, fields, charges, d_norm, inv_sigma, p):
         """Dipole moments: M_i += rdotn g_i + rdotg n_i, M_3 += rdotn

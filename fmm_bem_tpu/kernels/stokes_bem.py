@@ -267,6 +267,12 @@ class StokesBEMKernel:
         contrib = jnp.einsum("eij,ej->ei", blocks, qm[cols])
         return jax.ops.segment_sum(contrib, rows, num_segments=n)
 
+    def near_select(self, vals, bc_rows):
+        """Host-side BC selection (3x3 blocks) for the leaf-panel near
+        field: single-layer for VELOCITY rows, double-layer otherwise."""
+        sel = (np.asarray(bc_rows) == VELOCITY)[:, None, None]
+        return np.where(sel, vals[:, 0], vals[:, 1])
+
     # ----- dense oracle -----
     def dense_matrix(self, fields):
         """[3N, 3N] dense operator honoring target BC flags."""

@@ -101,6 +101,10 @@ class YukawaBEMKernel(YukawaKernel):
         v = jnp.where(bc_rows == 0.0, vals[:, 0], vals[:, 1])
         return _seg_sum(v * qm[cols], rows, n)[:, None]
 
+    def near_select(self, vals, bc_rows):
+        """Host-side BC selection for the leaf-panel near field."""
+        return np.where(np.asarray(bc_rows) == 0.0, vals[:, 0], vals[:, 1])
+
     # ----- dense oracle -----
     def dense_matrix(self, fields):
         n = len(fields["xyz"])

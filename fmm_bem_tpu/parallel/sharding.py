@@ -35,7 +35,7 @@ def make_mesh(n_devices=None, axis="sp"):
 def shard_plan_arrays(plan, p, mesh, axis="sp"):
     """Device data + fields with body-indexed and pair-indexed arrays
     sharded along their leading dim, everything else replicated."""
-    d = plan._device_data(p)
+    d = plan.device_data(p)
     fields = plan.device_fields()
     n = plan.tree.num_bodies
 
@@ -69,24 +69,28 @@ def shard_plan_arrays(plan, p, mesh, axis="sp"):
         k: jax.device_put(v, NamedSharding(mesh, spec_for(k, v)))
         for k, v in fields.items()
     }
-    return out_d, out_f
+    aux = plan.variant_aux(p)
+    aux = jtu.tree_map(
+        lambda a: jax.device_put(a, NamedSharding(mesh, P())), aux
+    )
+    return out_d, out_f, aux
 
 
 def sharded_matvec(plan, p, mesh, axis="sp"):
     """jit-compiled FMM matvec with charges/results sharded by Morton
     range over ``mesh``.  Returns ``f(charges) -> results``."""
-    d, fields = shard_plan_arrays(plan, p, mesh, axis)
+    d, fields, aux = shard_plan_arrays(plan, p, mesh, axis)
     divisible = plan.tree.num_bodies % mesh.shape[axis] == 0
     qspec = NamedSharding(mesh, P(axis) if divisible else P())
     out_spec = NamedSharding(mesh, P(axis, None) if divisible else P())
 
     @jax.jit
-    def f(d_, fl, q):
-        return plan._matvec(d_, fl, fl, q, p)
+    def f(d_, aux_, fl, q):
+        return plan._matvec(d_, fl, fl, q, p, aux=aux_)
 
     def apply(q):
         q = jax.device_put(jnp.asarray(q, jnp.dtype(plan.config.dtype)), qspec)
-        return f(d, fields, q)
+        return f(d, aux, fields, q)
 
     apply.jitted = f
     apply.out_spec = out_spec
@@ -97,13 +101,13 @@ def sharded_solve_step(plan, p, mesh, axis="sp"):
     """One inexact-GMRES iteration's device work (matvec + Arnoldi
     projections) as a single jitted, mesh-sharded step — the FMM
     framework's analogue of a 'training step' for multi-chip dry runs."""
-    d, fields = shard_plan_arrays(plan, p, mesh, axis)
+    d, fields, aux = shard_plan_arrays(plan, p, mesh, axis)
     divisible = plan.tree.num_bodies % mesh.shape[axis] == 0
     qspec = NamedSharding(mesh, P(axis) if divisible else P())
 
     @jax.jit
-    def step(d_, fl, v, basis):
-        w = plan._matvec(d_, fl, fl, v, p)[:, 0]
+    def step(d_, aux_, fl, v, basis):
+        w = plan._matvec(d_, fl, fl, v, p, aux=aux_)[:, 0]
         # modified Gram-Schmidt projections against the Krylov basis
         coeffs = basis @ w  # [k]
         w = w - coeffs @ basis
@@ -112,7 +116,7 @@ def sharded_solve_step(plan, p, mesh, axis="sp"):
 
     def apply(v, basis):
         v = jax.device_put(jnp.asarray(v, jnp.dtype(plan.config.dtype)), qspec)
-        return step(d, fields, v, basis)
+        return step(d, aux, fields, v, basis)
 
     apply.jitted = step
     return apply

@@ -18,7 +18,7 @@ from typing import Callable, Optional
 import jax.numpy as jnp
 import numpy as np
 
-from fmm_bem_tpu.config import SolverConfig
+from fmm_bem_tpu.config import RelaxType, SolverConfig
 
 
 @dataclasses.dataclass
@@ -179,3 +179,253 @@ def gmres(
 def fgmres(matvec, b, **kw):
     """Flexible GMRES (ref GMRES.hpp:276-380)."""
     return gmres(matvec, b, flexible=True, **kw)
+
+
+# ----------------------------------------------------------------------
+# device-resident GMRES
+# ----------------------------------------------------------------------
+#
+# The host-loop solver above pays several host<->device round trips per
+# Arnoldi iteration (matvec dispatch, Gram-Schmidt, a blocking Hessenberg
+# transfer).  On a remote-attached TPU each round trip costs ~0.1 ms —
+# more than the entire 32k-panel FMM matvec.  ``gmres_device`` instead
+# runs whole blocks of iterations inside ONE jitted lax.while_loop: the
+# Givens rotations, Hessenberg update and residual recurrence all live on
+# device, exactly the XLA-native reshaping of ref GMRES.hpp:142-252.
+#
+# Relaxation (the paper's inexact-Krylov schedule) needs a *static* p per
+# compiled matvec, so the inner loop is split into p-tiers: the while
+# loop at order p keeps iterating until the residual crosses the
+# threshold where ``predict_p`` would choose a smaller order (the
+# schedule is monotone in the residual), then control returns to the
+# host, which starts the next tier continuing the SAME Krylov basis.
+# This evaluates the reference's per-iteration ``K.set_p(predict_p(res))``
+# (GMRES.hpp:195-196) with one host sync per p *change* instead of per
+# iteration.
+
+
+class DeviceGmresContext:
+    """Compiled-executable cache reusable across solves (the array-era
+    analogue of the reference's GMRESContext, GMRES.hpp:36-63)."""
+
+    def __init__(self):
+        self.tier_fns = {}
+        self.finish_fn = None
+        self.resid_fn = None
+
+
+def _device_predict_p(resid, cfg):
+    """jnp replica of SolverConfig.predict_p (SolverOptions.hpp:25-38)."""
+    eps = jnp.minimum(resid, 1.0)
+    if cfg.relax_type is RelaxType.BOURAS:
+        nu = jnp.minimum(cfg.residual / eps, 1.0)
+    else:
+        nu = eps
+    raw = jnp.ceil(-jnp.log2(jnp.maximum(nu, 1e-300)))
+    p = jnp.where(nu >= 1.0, 1.0, raw)
+    return jnp.clip(p, 1, cfg.max_p).astype(jnp.int32)
+
+
+def gmres_device(
+    matvec: Callable,
+    b,
+    operand_for_p: Optional[Callable] = None,
+    x0=None,
+    config: Optional[SolverConfig] = None,
+    M: Optional[Callable] = None,
+    p_fixed: Optional[int] = None,
+    flexible: bool = False,
+    verbose: bool = False,
+    context: Optional[DeviceGmresContext] = None,
+):
+    """Device-resident restarted GMRES/FGMRES with p-relaxation.
+
+    Parameters
+    ----------
+    matvec : pure traceable ``(operand, x, p) -> A@x`` with p static.
+    operand_for_p : host callable ``p -> operand`` pytree (plan device
+        data is sliced per order); default returns ``None``.
+    M : pure traceable right preconditioner ``z = M(r)`` (default
+        identity).  Host-loop preconditioners (inner solves) need the
+        host ``gmres``.
+    """
+    import jax
+
+    cfg = config or SolverConfig()
+    ctx = context if context is not None else DeviceGmresContext()
+    b = jnp.asarray(b)
+    n = b.shape[0]
+    dt = b.dtype
+    x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, dt)
+    if M is None:
+        M = lambda r: r
+    if operand_for_p is None:
+        operand_for_p = lambda p: None
+
+    restart = int(min(cfg.restart, cfg.max_iters, n))
+    relaxed = p_fixed is None and cfg.variable_p
+    tiny = jnp.asarray(np.finfo(np.dtype(dt)).tiny * 1e3, dt)
+
+    def make_tier(p):
+        stop_tol = cfg.residual
+
+        def tier(operand, V, Z, H, cs, sn, s, i, resid, it_left, normb):
+            def cond(st):
+                (V, Z, H, cs, sn, s, i, resid, it_left) = st
+                ok = (i < restart) & (it_left > 0) & (resid >= stop_tol)
+                if relaxed:
+                    # leave when the schedule wants a smaller order
+                    ok = ok & (_device_predict_p(resid, cfg) >= p)
+                return ok
+
+            def body(st):
+                (V, Z, H, cs, sn, s, i, resid, it_left) = st
+                v = jax.lax.dynamic_slice_in_dim(V, i, 1)[0]
+                z = M(v)
+                if flexible:
+                    Z = jax.lax.dynamic_update_slice_in_dim(
+                        Z, z[None], i, 0
+                    )
+                w = matvec(operand, z, p)
+                # fused modified Gram-Schmidt + one re-orthogonalisation
+                mask = (jnp.arange(restart + 1) <= i)[:, None]
+                Vm = jnp.where(mask, V, jnp.zeros_like(V))
+                c1 = Vm @ w
+                w = w - c1 @ Vm
+                c2 = Vm @ w
+                w = w - c2 @ Vm
+                coeffs = c1 + c2
+                hn = jnp.linalg.norm(w)
+                V2 = jax.lax.dynamic_update_slice_in_dim(
+                    V, (w / jnp.maximum(hn, tiny))[None], i + 1, 0
+                )
+                col = jnp.where(jnp.arange(restart + 1) <= i, coeffs, 0.0)
+                col = col.at[i + 1].set(hn)
+
+                # apply the accumulated Givens rotations to the new column
+                def rot(k, h):
+                    hk = h[k]
+                    hk1 = h[k + 1]
+                    t = cs[k] * hk + sn[k] * hk1
+                    h = h.at[k + 1].set(-sn[k] * hk + cs[k] * hk1)
+                    return h.at[k].set(t)
+
+                col = jax.lax.fori_loop(0, i, rot, col)
+                dx_, dy_ = col[i], col[i + 1]
+                r_ = jnp.sqrt(dx_ * dx_ + dy_ * dy_)
+                ci = jnp.where(r_ > 0, dx_ / jnp.maximum(r_, tiny), 1.0)
+                si = jnp.where(r_ > 0, dy_ / jnp.maximum(r_, tiny), 0.0)
+                col = col.at[i].set(r_).at[i + 1].set(0.0)
+                cs2 = cs.at[i].set(ci)
+                sn2 = sn.at[i].set(si)
+                H2 = jax.lax.dynamic_update_slice(
+                    H, col[:, None], (jnp.zeros_like(i), i)
+                )
+                s_i = s[i]
+                s2 = s.at[i + 1].set(-si * s_i).at[i].set(ci * s_i)
+                resid = jnp.abs(s2[i + 1]) / normb
+                return (V2, Z, H2, cs2, sn2, s2, i + 1, resid, it_left - 1)
+
+            return jax.lax.while_loop(
+                cond, body, (V, Z, H, cs, sn, s, i, resid, it_left)
+            )
+
+        return jax.jit(tier)
+
+    if ctx.finish_fn is None:
+
+        def finish(V, Z, H, s, m, x):
+            ar = jnp.arange(restart)
+            rhs = jnp.where(ar < m, s[:restart], 0.0)
+            Hm = H[:restart, :restart] + jnp.diag((ar >= m).astype(dt))
+            y = jax.scipy.linalg.solve_triangular(Hm, rhs, lower=False)
+            if flexible:
+                dx = y @ Z
+            else:
+                dx = M(y @ V[:restart])
+            return x + dx
+
+        ctx.finish_fn = jax.jit(finish)
+
+    if ctx.resid_fn is None:
+
+        def resid0(operand, x, b):
+            r = b - matvec(operand, x, cfg.max_p)
+            return r, jnp.linalg.norm(r)
+
+        ctx.resid_fn = jax.jit(resid0)
+
+    normb = float(jnp.linalg.norm(b))
+    if normb == 0.0:
+        normb = 1.0
+    normb_arr = jnp.asarray(normb, dt)
+
+    history = []
+    total_it = 0
+    resid = 1.0
+    full_operand = operand_for_p(cfg.max_p)
+
+    while total_it < cfg.max_iters:
+        r, beta_dev = ctx.resid_fn(full_operand, x, b)
+        beta = float(beta_dev)
+        resid = beta / normb
+        if resid < cfg.residual:
+            return x, SolveInfo(total_it, resid, True, history)
+
+        V = jnp.zeros((restart + 1, n), dt).at[0].set(r / beta)
+        Z = jnp.zeros((restart if flexible else 1, n), dt)
+        H = jnp.zeros((restart + 1, restart), dt)
+        cs = jnp.zeros(restart + 1, dt)
+        sn = jnp.zeros(restart + 1, dt)
+        s = jnp.zeros(restart + 1, dt).at[0].set(beta)
+        i = jnp.asarray(0, jnp.int32)
+        resid_dev = jnp.asarray(resid, dt)
+
+        while True:
+            p = cfg.schedule_p(resid, p_fixed)
+            if p not in ctx.tier_fns:
+                ctx.tier_fns[p] = make_tier(p)
+            it_left = jnp.asarray(cfg.max_iters - total_it, jnp.int32)
+            st = ctx.tier_fns[p](
+                operand_for_p(p), V, Z, H, cs, sn, s, i, resid_dev,
+                it_left, normb_arr,
+            )
+            (V, Z, H, cs, sn, s, i_new, resid_dev, _) = st
+            i_new_h = int(i_new)
+            i_old_h = int(i)
+            steps = i_new_h - i_old_h
+            # per-iteration history from the rotation sines:
+            # |s_{k+1}| = |sn_k| * |s_k|, seeded by the residual numerator
+            # at tier entry (mirrors the reference's per-iteration print,
+            # GMRES.hpp:225)
+            sn_h = np.asarray(sn)[i_old_h:i_new_h]
+            run = resid * normb
+            for k, snk in enumerate(sn_h):
+                run *= abs(snk)
+                history.append((total_it + k + 1, run / normb, p))
+            total_it += steps
+            resid = float(resid_dev)
+            i = i_new
+            if verbose and steps:
+                print(
+                    f"it: {total_it:4d}  res: {resid:.3e}  fmm_req_p: {p}"
+                )
+            if resid < cfg.residual or int(i) >= restart or \
+                    total_it >= cfg.max_iters or steps == 0:
+                break
+
+        x = ctx.finish_fn(V, Z, H, s, i, x)
+        if resid < cfg.residual:
+            # trust-but-verify: true residual at full p on the next
+            # outer-loop pass confirms convergence before returning
+            r, beta_dev = ctx.resid_fn(full_operand, x, b)
+            resid = float(beta_dev) / normb
+            if resid < cfg.residual:
+                return x, SolveInfo(total_it, resid, True, history)
+
+    return x, SolveInfo(total_it, resid, False, history)
+
+
+def fgmres_device(matvec, b, **kw):
+    """Flexible device-resident GMRES."""
+    return gmres_device(matvec, b, flexible=True, **kw)

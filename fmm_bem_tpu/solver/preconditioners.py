@@ -38,7 +38,7 @@ def block_diagonal_from_plan(plan, p=None, assemble_block=None):
     """
     kern = plan.kernel
     K = plan.leaf_pad
-    d = plan._device_data(p or plan.config.max_p)
+    d = plan.device_data(p or plan.config.max_p)
     bidx = d["s_leaf_body_idx"]
     bmask = d["s_leaf_body_mask"]
     dev_fields = plan.device_fields()

@@ -17,11 +17,12 @@ import sys
 import time
 
 
-def run(backend="default", recursions=7, p=5, iters=10):
+def run(backend="default", recursions=7, p=5, iters=10, chain=50):
     import jax
 
     if backend == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
     import numpy as np
 
     from fmm_bem_tpu.bem.panels import make_panels
@@ -31,6 +32,9 @@ def run(backend="default", recursions=7, p=5, iters=10):
     from fmm_bem_tpu.kernels.laplace_bem import LaplaceBEMKernel
 
     platform = jax.devices()[0].platform
+    if platform == "cpu":
+        chain = max(2, chain // 10)
+        iters = max(1, iters // 5)
     tris = unit_sphere(recursions)
     fields = make_panels(tris, K=3)
     n = len(tris)
@@ -39,39 +43,65 @@ def run(backend="default", recursions=7, p=5, iters=10):
     plan = FmmPlan(
         LaplaceBEMKernel(K=3),
         fields,
-        FMMConfig(ncrit=64, dtype="float32", max_p=max(p, 8)),
+        FMMConfig(ncrit=32, dtype="float32", max_p=max(p, 8)),
     )
     build_s = time.time() - t0
 
-    q = np.ones(n, dtype=np.float32)
+    # sustained matvec throughput: chain `chain` matvecs inside one jit
+    # (exactly how the device-resident GMRES consumes them) so the
+    # number reflects the chip, not the host/tunnel dispatch overhead.
+    mv, op4p = plan.solver_ops()
+    operand = op4p(p)
+
+    @jax.jit
+    def chained(operand, q):
+        def step(carry, _):
+            return mv(operand, carry, p), None
+
+        o, _ = jax.lax.scan(step, q, None, length=chain)
+        return o
+
+    q = jnp.ones(n, jnp.float32)
     t0 = time.time()
-    out = plan.apply(q, p=p)
+    out = chained(operand, q)
     out.block_until_ready()
     compile_s = time.time() - t0
 
-    # timed loop
     t0 = time.time()
     for _ in range(iters):
-        out = plan.apply(q, p=p)
+        out = chained(operand, q)
     out.block_until_ready()
-    dt = (time.time() - t0) / iters
+    dt = (time.time() - t0) / (iters * chain)
+
+    # single dispatched matvec (includes host + tunnel overhead)
+    qn = np.ones(n, dtype=np.float32)
+    out1 = plan.apply(qn, p=p)
+    out1.block_until_ready()
+    t0 = time.time()
+    for _ in range(iters):
+        out1 = plan.apply(qn, p=p)
+    out1.block_until_ready()
+    dt_single = (time.time() - t0) / iters
 
     # GMRES solve wall-clock (the BASELINE.md secondary metric):
     # second-kind sphere equation (well-conditioned; ref -second_kind
     # mode): system = dGdn operator (flipped BC), RHS = G . (dphi/dn=1),
-    # analytic solution phi = 1.  Fixed p reuses the already-compiled
-    # tier so this measures solver wall-clock, not compile time (the
-    # relaxation path is exercised in the test suite and drivers).
+    # analytic solution phi = 1.  Device-resident solver: whole Arnoldi
+    # blocks run inside one lax.while_loop per p-tier.
     from fmm_bem_tpu.config import SolverConfig
-    from fmm_bem_tpu.solver.gmres import gmres
+    from fmm_bem_tpu.solver.gmres import DeviceGmresContext, gmres_device
 
-    b = np.asarray(plan.apply(q, p=p)[:, 0])
+    b = np.asarray(plan.apply(qn, p=p)[:, 0])
+    mvf, op4pf = plan.solver_ops(flipped=True)
+    cfg = SolverConfig(residual=1e-5, max_p=p, max_iters=60, restart=60)
+    ctx = DeviceGmresContext()
+    # compile pass (tier executable + finish), then timed solve
+    x, info = gmres_device(
+        mvf, b, operand_for_p=op4pf, config=cfg, p_fixed=p, context=ctx
+    )
     t0 = time.time()
-    x, info = gmres(
-        lambda v, pp: plan.apply_flipped_bc(v, p=pp)[:, 0],
-        b,
-        config=SolverConfig(residual=1e-5, max_p=p, max_iters=60, restart=60),
-        p_fixed=p,
+    x, info = gmres_device(
+        mvf, b, operand_for_p=op4pf, config=cfg, p_fixed=p, context=ctx
     )
     solve_s = time.time() - t0
     sol_err = float(np.linalg.norm(np.asarray(x) - 1.0) / np.sqrt(n))
@@ -82,6 +112,7 @@ def run(backend="default", recursions=7, p=5, iters=10):
         "n_panels": n,
         "p": p,
         "matvec_s": dt,
+        "matvec_dispatched_s": dt_single,
         "build_s": build_s,
         "compile_s": compile_s,
         "solve_s": solve_s,

@@ -69,4 +69,5 @@ def load_near_field(path, plan):
         return False
     plan.near_vals = data["near_vals"]
     plan._apply_cache.clear()
+    plan._near_panel_cache.clear()  # panels derive from near_vals
     return True

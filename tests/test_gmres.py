@@ -126,3 +126,93 @@ def test_predict_p_schedule():
     assert cfg.predict_p(1.0) >= cfg.predict_p(1e-3) >= cfg.predict_p(1e-4)
     assert cfg.predict_p(1.0) == 16  # -log2(1e-5) = 16.6, capped at max_p
     assert cfg.predict_p(2e-5) <= 2  # nearly converged -> cheapest matvec
+
+
+# ----------------------------------------------------------------------
+# device-resident GMRES (solver.gmres.gmres_device)
+# ----------------------------------------------------------------------
+from fmm_bem_tpu.solver.gmres import (  # noqa: E402
+    DeviceGmresContext,
+    fgmres_device,
+    gmres_device,
+)
+
+
+def test_gmres_device_dense():
+    rng = np.random.default_rng(10)
+    n = 80
+    A = rng.standard_normal((n, n)) + n * np.eye(n)
+    b = rng.standard_normal(n)
+    Aj = jnp.asarray(A)
+    x, info = gmres_device(
+        lambda op, v, p: Aj @ v, b, config=SolverConfig(residual=1e-10)
+    )
+    assert info.converged
+    assert np.allclose(np.asarray(x), np.linalg.solve(A, b), atol=1e-7)
+
+
+def test_gmres_device_restart_and_context_reuse():
+    rng = np.random.default_rng(11)
+    n = 60
+    A = rng.standard_normal((n, n)) + n * np.eye(n)
+    b = rng.standard_normal(n)
+    Aj = jnp.asarray(A)
+    ctx = DeviceGmresContext()
+    cfg = SolverConfig(residual=1e-9, restart=10, max_iters=200)
+    x, info = gmres_device(lambda op, v, p: Aj @ v, b, config=cfg, context=ctx)
+    assert info.converged
+    # second solve reuses the compiled tier executables
+    x2, info2 = gmres_device(
+        lambda op, v, p: Aj @ v, 2 * b, config=cfg, context=ctx
+    )
+    assert info2.converged
+    assert np.allclose(np.asarray(x2), np.linalg.solve(A, 2 * b), atol=1e-6)
+
+
+def test_fgmres_device_with_pc():
+    rng = np.random.default_rng(12)
+    n = 70
+    A = rng.standard_normal((n, n)) + n * np.eye(n)
+    b = rng.standard_normal(n)
+    Aj = jnp.asarray(A)
+    dinv = jnp.asarray(1.0 / np.diag(A))
+    x, info = fgmres_device(
+        lambda op, v, p: Aj @ v,
+        b,
+        M=lambda r: dinv * r,
+        config=SolverConfig(residual=1e-10),
+    )
+    assert info.converged
+    assert np.allclose(np.asarray(x), np.linalg.solve(A, b), atol=1e-6)
+
+
+def test_gmres_device_matches_host_on_bem_relaxed():
+    """Device-resident tiered relaxation must reproduce the host loop:
+    identical per-iteration p schedule and the same solution."""
+    from fmm_bem_tpu.bem.panels import make_panels
+    from fmm_bem_tpu.bem.triangulation import unit_sphere
+    from fmm_bem_tpu.kernels.laplace_bem import LaplaceBEMKernel
+
+    tris = unit_sphere(3)
+    fields = make_panels(tris, K=3)
+    n = len(tris)
+    plan = FmmPlan(
+        LaplaceBEMKernel(K=3),
+        fields,
+        FMMConfig(ncrit=32, dtype="float64", max_p=8),
+    )
+    q = np.ones(n)
+    cfg = SolverConfig(residual=1e-5, max_p=8, max_iters=60, restart=60)
+    b = np.asarray(plan.apply(q, p=8)[:, 0])
+    mv, op4p = plan.solver_ops(flipped=True)
+    x_d, info_d = gmres_device(mv, b, operand_for_p=op4p, config=cfg)
+    x_h, info_h = gmres(
+        lambda v, pp: plan.apply_flipped_bc(v, p=pp)[:, 0], b, config=cfg
+    )
+    assert info_d.converged and info_h.converged
+    assert info_d.iterations == info_h.iterations
+    assert [h[2] for h in info_d.history] == [h[2] for h in info_h.history]
+    assert np.allclose(np.asarray(x_d), np.asarray(x_h), atol=1e-8)
+    # second-kind sphere: solution is phi = 1
+    err = np.linalg.norm(np.asarray(x_d) - 1.0) / np.sqrt(n)
+    assert err < 0.05, err

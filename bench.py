@@ -16,11 +16,11 @@ import os
 import subprocess
 import sys
 
-REC = int(os.environ.get("FMM_BENCH_RECURSIONS", "7"))
+REC = int(os.environ.get("FMM_BENCH_RECURSIONS", "8"))
 TIMEOUT = int(os.environ.get("FMM_BENCH_TIMEOUT", "900"))
 
 
-def _run(backend):
+def _run_at(backend, rec):
     try:
         out = subprocess.run(
             [
@@ -28,7 +28,7 @@ def _run(backend):
                 "-m",
                 "fmm_bem_tpu.utils.bench_impl",
                 backend,
-                str(REC),
+                str(rec),
             ],
             capture_output=True,
             text=True,
@@ -41,6 +41,15 @@ def _run(backend):
                 return json.loads(line)
     except Exception:
         pass
+    return None
+
+
+def _run(backend):
+    # shrink the problem if the full size exceeds the per-run timeout
+    for rec in (REC, REC - 1):
+        r = _run_at(backend, rec)
+        if r is not None:
+            return r
     return None
 
 

@@ -402,6 +402,63 @@ class FmmPlan:
         self.p2p_tgt_slot = self.tgt.box_to_slot[pp[:, 1]].astype(np.int32)
 
         self.near_rows = self.near_cols = self.near_vals = None
+        # device-near mode: the regular-quadrature bulk of the near
+        # field is evaluated on the accelerator directly in panel-block
+        # layout; the host only assembles the near-singular CORRECTION
+        # entries (branchy semi-analytical integrals) — see
+        # ops/near_panel.build_near_panels_on_device
+        self._device_near = (
+            self.config.near_panel
+            and getattr(self.kernel, "near_sparse", False)
+            and hasattr(self.kernel, "near_block_device")
+            and len(pp) > 0
+        )
+        if self._device_near:
+            from fmm_bem_tpu import native
+
+            st_xyz = self.src.fields["xyz"]
+            tt_xyz = self.tgt.fields["xyz"]
+            s_area = self.src.fields["area"]
+            nat = native.near_candidates(
+                pp, st, tt, tt_xyz, st_xyz, s_area
+            )
+            if nat is not None:
+                rows, cols = nat
+            else:
+                rows, cols = [], []
+                ta = np.asarray(tt_xyz)
+                sa_ = np.asarray(st_xyz)
+                ar = np.asarray(s_area)
+                for s, tg in pp:
+                    tsl = slice(
+                        tt.box_body_start[tg],
+                        tt.box_body_start[tg] + tt.box_body_count[tg],
+                    )
+                    ssl = slice(
+                        st.box_body_start[s],
+                        st.box_body_start[s] + st.box_body_count[s],
+                    )
+                    tb = np.arange(tsl.start, tsl.stop, dtype=np.int32)
+                    sb = np.arange(ssl.start, ssl.stop, dtype=np.int32)
+                    d2 = (
+                        (ta[tsl, None, :] - sa_[None, ssl, :]) ** 2
+                    ).sum(-1)
+                    near = 2.0 * ar[None, ssl] >= 0.25 * d2
+                    ti, si = np.nonzero(near)
+                    rows.append(tb[ti])
+                    cols.append(sb[si])
+                rows = np.concatenate(rows) if rows else np.zeros(0, np.int32)
+                cols = np.concatenate(cols) if cols else np.zeros(0, np.int32)
+            self.near_rows = np.asarray(rows, np.int32)
+            self.near_cols = np.asarray(cols, np.int32)
+            self.near_vals = self.kernel.near_values(
+                self.tgt.fields, self.src.fields,
+                self.near_rows, self.near_cols,
+            )
+            self._near_panel_cache = {}
+            self._near_meta = None
+            self._use_panels = True
+            return
         if getattr(self.kernel, "near_sparse", False):
             from fmm_bem_tpu import native
 
@@ -441,7 +498,10 @@ class FmmPlan:
         variant.  Returns (device_dict, meta) or (None, None)."""
         if not self._use_panels:
             return None, None
-        from fmm_bem_tpu.ops.near_panel import build_near_panels
+        from fmm_bem_tpu.ops.near_panel import (
+            build_near_panels,
+            build_near_panels_on_device,
+        )
 
         tf = tgt_fields_host if tgt_fields_host is not None else \
             self.tgt.fields
@@ -451,24 +511,83 @@ class FmmPlan:
             vsel = self.kernel.near_select(
                 self.near_vals, bc[self.near_rows] if len(bc) else None
             )
-            panels = build_near_panels(
-                self.p2p_src_slot,
-                self.p2p_tgt_slot,
-                self.near_rows,
-                self.near_cols,
-                vsel,
-                self.src,
-                self.tgt,
-                len(self.tgt.leaf_ids),
-                dtype=np.dtype(self.config.dtype),
-            )
-            self._near_meta = panels
-            self._near_panel_cache[key] = panels.device(self.config.dtype)
+            if getattr(self, "_device_near", False):
+                dev, meta = build_near_panels_on_device(
+                    self.p2p_src_slot,
+                    self.p2p_tgt_slot,
+                    self.src,
+                    self.tgt,
+                    len(self.tgt.leaf_ids),
+                    self._near_blocks_fn(tf),
+                    corr=(self.near_rows, self.near_cols, vsel),
+                    rdim=getattr(self.kernel, "result_dim", 1),
+                    cdim=getattr(self.kernel, "charge_dim", 1),
+                    dtype=self.config.dtype,
+                    jit_cache=self.__dict__.setdefault(
+                        "_panel_jit_cache", {}
+                    ),
+                )
+                self._near_meta = meta
+                self._near_panel_cache[key] = dev
+            else:
+                panels = build_near_panels(
+                    self.p2p_src_slot,
+                    self.p2p_tgt_slot,
+                    self.near_rows,
+                    self.near_cols,
+                    vsel,
+                    self.src,
+                    self.tgt,
+                    len(self.tgt.leaf_ids),
+                    dtype=np.dtype(self.config.dtype),
+                )
+                self._near_meta = panels
+                self._near_panel_cache[key] = panels.device(
+                    self.config.dtype
+                )
             if len(self._near_panel_cache) > 4:
                 self._near_panel_cache.pop(
                     next(iter(self._near_panel_cache))
                 )
         return self._near_panel_cache[key], self._near_meta
+
+    def _near_blocks_fn(self, tgt_fields_host):
+        """Jitted device builder of the regular-quadrature interaction
+        blocks for the (sorted) near leaf-pair lists."""
+        import jax
+
+        kern = self.kernel
+        dt = jnp.dtype(self.config.dtype)
+        sfd = {
+            k: jnp.asarray(v, dt)
+            for k, v in self.src.fields.items()
+            if k != "vertices"
+        }
+        tf = dict(self.tgt.fields)
+        tf["bc"] = tgt_fields_host.get("bc", tf.get("bc"))
+        tfd = {
+            k: jnp.asarray(v, dt)
+            for k, v in tf.items()
+            if k != "vertices"
+        }
+        sbi = jnp.asarray(self.src.leaf_body_idx)
+        sbm = jnp.asarray(self.src.leaf_body_mask)
+        tbi = jnp.asarray(self.tgt.leaf_body_idx)
+        tbm = jnp.asarray(self.tgt.leaf_body_mask)
+
+        if not hasattr(self, "_near_blocks_jit"):
+            # one compiled executable reused across BC variants
+            def build(sfd, tfd, sbi, sbm, tbi, tbm, ss, ts):
+                sf_rows = {k: v[sbi[ss]] for k, v in sfd.items()}
+                tf_rows = {k: v[tbi[ts]] for k, v in tfd.items()}
+                return jax.vmap(kern.near_block_device)(
+                    tf_rows, sf_rows, tbm[ts], sbm[ss]
+                )
+
+            self._near_blocks_jit = jax.jit(build)
+
+        build = self._near_blocks_jit
+        return lambda ss, ts: build(sfd, tfd, sbi, sbm, tbi, tbm, ss, ts)
 
     # ------------------------------------------------------------------
     # device data per p-tier
@@ -648,19 +767,22 @@ class FmmPlan:
                 isig = jnp.asarray(self.src.body_inv_sigma, dt)
                 n = self.src.tree.num_bodies
 
-                @jax.jit
-                def tab_fn(sfd, dn, isig):
-                    if cdim == 1:
-                        return kern.p2m(
-                            sfd, jnp.ones(n, dt), dn, isig, pmax
-                        )
-                    cols = []
-                    for c in range(cdim):
-                        e = jnp.zeros((n, cdim), dt).at[:, c].set(1.0)
-                        cols.append(kern.p2m(sfd, e, dn, isig, pmax))
-                    return jnp.stack(cols)  # [cdim, n, ncomp, W]
+                if not hasattr(self, "_p2m_tab_fn"):
+                    # one jitted builder reused across BC variants
+                    # (harmonic recurrences compile slowly at max_p)
+                    def tab_fn(sfd, dn, isig):
+                        if cdim == 1:
+                            return kern.p2m(
+                                sfd, jnp.ones(n, dt), dn, isig, pmax
+                            )
+                        cols = []
+                        for c in range(cdim):
+                            e = jnp.zeros((n, cdim), dt).at[:, c].set(1.0)
+                            cols.append(kern.p2m(sfd, e, dn, isig, pmax))
+                        return jnp.stack(cols)  # [cdim, n, ncomp, W]
 
-                fcache[full_key] = tab_fn(sfd, dn, isig)
+                    self._p2m_tab_fn = jax.jit(tab_fn)
+                fcache[full_key] = self._p2m_tab_fn(sfd, dn, isig)
                 self._p2m_tab_cache = fcache
                 if len(fcache) > 4:
                     fcache.pop(next(iter(fcache)))
@@ -675,9 +797,11 @@ class FmmPlan:
                 )
                 dn = jnp.asarray(self.tgt.body_dnorm, dt)
                 isig = jnp.asarray(self.tgt.body_inv_sigma, dt)
-                lcache[full_key] = jax.jit(
-                    lambda f, dn, isig: kern.l2p_table(f, dn, isig, pmax)
-                )(tfd, dn, isig)
+                if not hasattr(self, "_l2p_tab_fn"):
+                    self._l2p_tab_fn = jax.jit(
+                        lambda f, dn, isig: kern.l2p_table(f, dn, isig, pmax)
+                    )
+                lcache[full_key] = self._l2p_tab_fn(tfd, dn, isig)
                 self._l2p_tab_cache = lcache
                 if len(lcache) > 4:
                     lcache.pop(next(iter(lcache)))

@@ -154,6 +154,35 @@ class LaplaceBEMKernel:
         path (G for POTENTIAL rows, dGdn for NORMAL_DERIV rows)."""
         return np.where(np.asarray(bc_rows) == 0.0, vals[:, 0], vals[:, 1])
 
+    kappa = 0.0  # Yukawa subclassing hook for the shared block builder
+
+    def near_block_device(self, tf_rows, sf_rows, tmask, smask):
+        """Regular K-point quadrature interaction block of one leaf
+        pair, evaluated on device (the smooth branch of ref
+        eval_G/eval_dGdn, LaplaceSphericalBEM.hpp:195-203,241-263) —
+        near-singular entries are overwritten by host corrections."""
+        t = tf_rows["xyz"]                         # [KT, 3]
+        qp = sf_rows["qp_off"] + sf_rows["xyz"][:, None, :]  # [KS, K, 3]
+        w = sf_rows["qw"] * sf_rows["area"][:, None]         # [KS, K]
+        d = t[:, None, None, :] - qp[None, :, :, :]          # [KT,KS,K,3]
+        r2 = jnp.maximum(jnp.sum(d * d, axis=-1), 1e-30)
+        r = jnp.sqrt(r2)
+        if self.kappa:
+            scr = jnp.exp(-self.kappa * r)
+            G = jnp.sum(w[None] * scr / r, axis=-1)
+            dn = jnp.sum(-d * sf_rows["normal"][None, :, None, :], axis=-1)
+            dG = jnp.sum(
+                w[None] * dn * (self.kappa * r + 1.0) * scr / (r2 * r),
+                axis=-1,
+            )
+        else:
+            G = jnp.sum(w[None] / r, axis=-1)
+            dn = jnp.sum(-d * sf_rows["normal"][None, :, None, :], axis=-1)
+            dG = jnp.sum(w[None] * dn / (r2 * r), axis=-1)
+        bc = tf_rows["bc"][:, None]
+        blk = jnp.where(bc == 0.0, G, dG)
+        return jnp.where(tmask[:, None] & smask[None, :], blk, 0.0)
+
     # ----- dense oracle (ref Direct.hpp over panel kernels) -----
     def dense_matrix(self, fields):
         """Full dense operator matrix honoring each target's BC flag —

@@ -105,6 +105,14 @@ class YukawaBEMKernel(YukawaKernel):
         """Host-side BC selection for the leaf-panel near field."""
         return np.where(np.asarray(bc_rows) == 0.0, vals[:, 0], vals[:, 1])
 
+    # device regular-quadrature block builder shared with Laplace BEM
+    # (the kappa attribute switches on the screening factors)
+    from fmm_bem_tpu.kernels.laplace_bem import (  # noqa: E501
+        LaplaceBEMKernel as _LB,
+    )
+    near_block_device = _LB.near_block_device
+    del _LB
+
     # ----- dense oracle -----
     def dense_matrix(self, fields):
         n = len(fields["xyz"])

@@ -60,6 +60,8 @@ def get_lib():
     lib.fmm_tree_num_boxes.restype = ctypes.c_int64
     lib.fmm_traverse.restype = ctypes.c_void_p
     lib.fmm_near_coo_size.restype = ctypes.c_int64
+    if hasattr(lib, "fmm_near_candidates"):
+        lib.fmm_near_candidates.restype = ctypes.c_int64
     _LIB = lib
     return _LIB
 
@@ -210,3 +212,72 @@ def near_laplace(tgt_fields, src_fields, t_idx, s_idx, fine_K, kappa):
         _ptr(dG),
     )
     return G, dG
+
+
+def panel_fill(rows, cols, vals3, t_slot, s_slot, t_pos, s_pos,
+               pair_key_sorted, mult, rdim, cdim, KT, KS, blocks):
+    """Native near-panel block fill (see fmm_panel_fill); returns False
+    when the library is unavailable so callers use the numpy fallback."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "fmm_panel_fill"):
+        return False
+    rows = _i32(rows)
+    cols = _i32(cols)
+    vals3 = np.ascontiguousarray(vals3, np.float32)
+    t_slot = _i32(t_slot)
+    s_slot = _i32(s_slot)
+    t_pos = _i32(t_pos)
+    s_pos = _i32(s_pos)
+    pk = np.ascontiguousarray(pair_key_sorted, np.int64)
+    assert blocks.dtype == np.float32 and blocks.flags.c_contiguous
+    lib.fmm_panel_fill(
+        ctypes.c_int64(len(rows)),
+        _ptr(rows),
+        _ptr(cols),
+        _ptr(vals3),
+        _ptr(t_slot),
+        _ptr(s_slot),
+        _ptr(t_pos),
+        _ptr(s_pos),
+        _ptr(pk),
+        ctypes.c_int64(len(pk)),
+        ctypes.c_int64(mult),
+        ctypes.c_int(rdim),
+        ctypes.c_int(cdim),
+        ctypes.c_int(KT),
+        ctypes.c_int(KS),
+        _ptr(blocks),
+    )
+    return True
+
+
+def near_candidates(pairs, src_tree, tgt_tree, t_xyz, s_xyz, s_area):
+    """COO entries triggering the near-singular branch (see
+    fmm_near_candidates) -> (rows, cols), or None without the library."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "fmm_near_candidates"):
+        return None
+    pairs = _i32(pairs)
+    sc = _i32(src_tree.box_body_count)
+    ss = _i32(src_tree.box_body_start)
+    tc = _i32(tgt_tree.box_body_count)
+    ts = _i32(tgt_tree.box_body_start)
+    t_xyz = _f64(t_xyz)
+    s_xyz = _f64(s_xyz)
+    s_area = _f64(s_area)
+    cap = 0
+    rows = np.empty(0, np.int32)
+    cols = np.empty(0, np.int32)
+    n = lib.fmm_near_candidates(
+        ctypes.c_int64(len(pairs)), _ptr(pairs), _ptr(ss), _ptr(sc),
+        _ptr(ts), _ptr(tc), _ptr(t_xyz), _ptr(s_xyz), _ptr(s_area),
+        _ptr(rows), _ptr(cols), ctypes.c_int64(cap),
+    )
+    rows = np.empty(n, np.int32)
+    cols = np.empty(n, np.int32)
+    lib.fmm_near_candidates(
+        ctypes.c_int64(len(pairs)), _ptr(pairs), _ptr(ss), _ptr(sc),
+        _ptr(ts), _ptr(tc), _ptr(t_xyz), _ptr(s_xyz), _ptr(s_area),
+        _ptr(rows), _ptr(cols), ctypes.c_int64(n),
+    )
+    return rows, cols

@@ -120,15 +120,26 @@ def build_near_panels(
         tgt_side.tree.box_body_start[tt_leaf]
     mult = int(len(src_side.leaf_ids)) + 1
     pair_key = ts.astype(np.int64) * mult + ss
-    entry_key = t_slot[rows].astype(np.int64) * mult + s_slot[cols]
-    pidx_e = np.searchsorted(pair_key, entry_key)
 
     blocks = np.zeros((npairs, KTr, KSc), dtype)
-    rr = t_pos[rows] * rdim
-    cc = s_pos[cols] * cdim
-    for i in range(rdim):
-        for j in range(cdim):
-            blocks[pidx_e, rr + i, cc + j] = vals3[:, i, j]
+    from fmm_bem_tpu import native
+
+    filled = np.dtype(dtype) == np.float32 and native.panel_fill(
+        rows, cols, np.ascontiguousarray(vals3, np.float32),
+        t_slot, s_slot, t_pos, s_pos, pair_key, mult,
+        rdim, cdim, KT, KS, blocks,
+    )
+    if not filled:
+        # numpy fallback (f64 accuracy runs / missing .so) — the
+        # searchsorted + fancy scatter cost ~250s at 1e8 entries, which
+        # is why the f32 path is native
+        entry_key = t_slot[rows].astype(np.int64) * mult + s_slot[cols]
+        pidx_e = np.searchsorted(pair_key, entry_key)
+        rr = t_pos[rows] * rdim
+        cc = s_pos[cols] * cdim
+        for i in range(rdim):
+            for j in range(cdim):
+                blocks[pidx_e, rr + i, cc + j] = vals3[:, i, j]
 
     # bucket target leaves by m
     edges = [e for e in edges if e <= max(int(m_per.max(initial=1)), 1)]
@@ -183,6 +194,182 @@ def build_near_panels(
         KT=KT,
         KS=KS,
     )
+
+
+def build_near_panels_on_device(
+    pair_src_slot,
+    pair_tgt_slot,
+    src_side,
+    tgt_side,
+    nl_t,
+    blocks_fn,
+    corr=None,
+    rdim=1,
+    cdim=1,
+    edges=DEFAULT_EDGES,
+    dtype=jnp.float32,
+    jit_cache=None,
+):
+    """Assemble bucketed leaf panels with the interaction blocks
+    computed ON the accelerator.
+
+    The regular K-point quadrature entries (the overwhelming bulk) are
+    smooth closed-form evaluations — ideal device work — so only the
+    near-singular corrections (``corr``) are computed on the host
+    (branchy semi-analytical integrals, a few % of entries).  This
+    replaces a ~1e8-entry host COO expansion + quadrature loop that
+    took minutes per plan on small hosts.
+
+    Parameters
+    ----------
+    blocks_fn : callable ``(ss, ts) -> [npairs, KT*rdim, KS*cdim]``
+        device blocks for the given (src leaf slot, tgt leaf slot)
+        pair arrays (the plan wraps the kernel's ``near_block_device``).
+    corr : optional ``(rows, cols, vals)`` host COO of near-singular
+        entries (Morton body ids; vals already BC-selected,
+        [nnz] or [nnz, rdim, cdim]) overwriting the quadrature values.
+    Returns (device_dict, NearPanels meta).
+    """
+    import jax
+
+    KT, KS = tgt_side.leaf_pad, src_side.leaf_pad
+    KTr, KSc = KT * rdim, KS * cdim
+    pair_tgt_slot = np.asarray(pair_tgt_slot)
+    pair_src_slot = np.asarray(pair_src_slot)
+    po = np.lexsort((pair_src_slot, pair_tgt_slot))
+    ts = pair_tgt_slot[po]
+    ss = pair_src_slot[po]
+    npairs = len(ts)
+    row_ptr = np.searchsorted(ts, np.arange(nl_t + 1))
+    m_per = np.diff(row_ptr)
+    nl_src = len(src_side.leaf_ids)
+
+    # host: near-singular corrections as FLAT indices into the block
+    # array (a 1-D scatter lowers far better than a 3-index one)
+    if corr is not None and len(corr[0]):
+        rows, cols, vals = corr
+        vals = np.asarray(vals)
+        vals3 = vals[:, None, None] if vals.ndim == 1 else vals
+        s_slot = src_side.box_to_slot[src_side.tree.body_leaf]
+        t_slot = tgt_side.box_to_slot[tgt_side.tree.body_leaf]
+        s_pos = np.arange(src_side.tree.num_bodies) - \
+            src_side.tree.box_body_start[src_side.tree.body_leaf]
+        t_pos = np.arange(tgt_side.tree.num_bodies) - \
+            tgt_side.tree.box_body_start[tgt_side.tree.body_leaf]
+        mult = nl_src + 1
+        pair_key = ts.astype(np.int64) * mult + ss
+        entry_key = t_slot[rows].astype(np.int64) * mult + s_slot[cols]
+        pidx_e = np.searchsorted(pair_key, entry_key)
+        base = pidx_e.astype(np.int64) * KTr * KSc
+        rr = (t_pos[rows] * rdim).astype(np.int64)
+        cc = (s_pos[cols] * cdim).astype(np.int64)
+        idx = (
+            base[:, None, None]
+            + (rr[:, None] + np.arange(rdim))[:, :, None] * KSc
+            + (cc[:, None] + np.arange(cdim))[:, None, :]
+        ).reshape(-1)
+        corr_idx = idx
+        corr_vals = vals3.reshape(-1)
+    else:
+        corr_idx = np.zeros(0, np.int64)
+        corr_vals = np.zeros(0)
+
+    # host: bucket structure
+    mmax = int(m_per.max(initial=1))
+    edges = [e for e in edges if e <= mmax]
+    if not edges or edges[-1] < m_per.max(initial=0):
+        edges = list(edges) + [mmax]
+    bucket_pair_ids, bucket_slot_ids, order = [], [], []
+    lo = 0
+    for hi in edges:
+        sel = np.where((m_per > lo) & (m_per <= hi))[0]
+        lo = hi
+        if len(sel) == 0:
+            continue
+        m_b = hi
+        nl_b = -(-len(sel) // LEAF_TILE) * LEAF_TILE
+        pair_ids = np.full((nl_b, m_b), npairs, np.int32)
+        slot_ids = np.full((nl_b, m_b), nl_src, np.int32)
+        for k, l in enumerate(sel):
+            p0, p1 = row_ptr[l], row_ptr[l + 1]
+            m = p1 - p0
+            pair_ids[k, :m] = np.arange(p0, p1, dtype=np.int32)
+            slot_ids[k, :m] = ss[p0:p1]
+        bucket_pair_ids.append(pair_ids)
+        bucket_slot_ids.append(slot_ids)
+        order.append(sel)
+
+    # device stage 1 (plan-cached jit): quadrature blocks.
+    # device stage 2 (jit cached across BC variants via ``jit_cache``):
+    # flat correction scatter + bucket gather/transpose/pad.  Eager
+    # per-op dispatch over a remote backend costs seconds per op, and a
+    # fresh jit per variant would recompile the whole assembly.
+    def assemble(blocks, corr_idx_d, corr_vals_d, pair_ids_d):
+        flat = blocks.reshape(-1)
+        flat = flat.at[corr_idx_d].set(corr_vals_d)
+        blocks = flat.reshape(npairs, KTr, KSc)
+        blocks_z = jnp.concatenate(
+            [blocks, jnp.zeros((1, KTr, KSc), blocks.dtype)], axis=0
+        )
+        outs = []
+        for pair_ids in pair_ids_d:
+            m_b = pair_ids.shape[1]
+            Lb = -(-m_b * KSc // 128) * 128
+            blk = blocks_z[pair_ids]  # [nl_b, m_b, KTr, KSc]
+            A = blk.transpose(0, 2, 1, 3).reshape(
+                pair_ids.shape[0], KTr, m_b * KSc
+            )
+            if Lb > m_b * KSc:
+                A = jnp.pad(A, ((0, 0), (0, 0), (0, Lb - m_b * KSc)))
+            outs.append(A)
+        return tuple(outs)
+
+    dt = jnp.dtype(dtype)
+    key = ("assemble", npairs, KTr, KSc,
+           tuple(pi.shape for pi in bucket_pair_ids), len(corr_idx))
+    if jit_cache is None:
+        jit_cache = {}
+    if key not in jit_cache:
+        jit_cache[key] = jax.jit(assemble)
+    blocks = blocks_fn(jnp.asarray(ss), jnp.asarray(ts))
+    A_dev = jit_cache[key](
+        blocks,
+        jnp.asarray(corr_idx),
+        jnp.asarray(corr_vals, dt),
+        tuple(jnp.asarray(pi) for pi in bucket_pair_ids),
+    )
+    pidx_dev = [jnp.asarray(si) for si in bucket_slot_ids]
+
+    if order:
+        order = np.concatenate(
+            [
+                np.concatenate(
+                    [sel, np.full(len(pi) - len(sel), nl_t)]
+                )
+                for sel, pi in zip(order, bucket_slot_ids)
+            ]
+        )
+    else:
+        order = np.zeros(0, np.int64)
+    inv_order = np.full(nl_t, len(order), np.int32)
+    valid = order < nl_t
+    inv_order[order[valid]] = np.arange(len(order), dtype=np.int32)[valid]
+
+    meta = NearPanels(
+        buckets=[(None, si) for si in bucket_slot_ids],
+        inv_order=inv_order,
+        npairs=npairs,
+        rdim=rdim,
+        cdim=cdim,
+        KT=KT,
+        KS=KS,
+    )
+    dev = {
+        "A": tuple(A_dev),
+        "pidx": tuple(pidx_dev),
+        "inv_order": jnp.asarray(inv_order),
+    }
+    return dev, meta
 
 
 def _contract_einsum(A, x):
@@ -254,9 +441,7 @@ def panel_matvec(panels_dev, meta, ql, use_pallas=None):
     KSc = meta.KS * meta.cdim
     xq = jnp.concatenate([ql, jnp.zeros((1, KSc), ql.dtype)], axis=0)
     outs = []
-    for (A_h, _), A, pidx in zip(
-        meta.buckets, panels_dev["A"], panels_dev["pidx"]
-    ):
+    for A, pidx in zip(panels_dev["A"], panels_dev["pidx"]):
         m_b = pidx.shape[1]
         xb = xq[pidx].reshape(pidx.shape[0], m_b * KSc)
         Lb = A.shape[2]

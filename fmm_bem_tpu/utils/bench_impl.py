@@ -43,7 +43,7 @@ def run(backend="default", recursions=7, p=5, iters=10, chain=50):
     plan = FmmPlan(
         LaplaceBEMKernel(K=3),
         fields,
-        FMMConfig(ncrit=32, dtype="float32", max_p=max(p, 8)),
+        FMMConfig(ncrit=64, dtype="float32", max_p=max(p, 8)),
     )
     build_s = time.time() - t0
 

@@ -258,14 +258,18 @@ void fmm_near_coo_fill(int64_t npairs, const int32_t* pairs,
       }
     }
   }
-  std::vector<int64_t> order(nnz);
-  for (int64_t i = 0; i < nnz; ++i) order[i] = i;
-  std::stable_sort(order.begin(), order.end(),
-                   [&](int64_t a, int64_t b) { return rows[a] < rows[b]; });
+  // counting sort by row (rows are dense small ints): O(nnz), stable —
+  // a comparison sort here dominated the whole plan build at 1e8 nnz
+  int32_t max_row = 0;
+  for (int64_t i = 0; i < nnz; ++i) max_row = std::max(max_row, rows[i]);
+  std::vector<int64_t> cnt((size_t)max_row + 2, 0);
+  for (int64_t i = 0; i < nnz; ++i) ++cnt[rows[i] + 1];
+  for (size_t r = 1; r < cnt.size(); ++r) cnt[r] += cnt[r - 1];
   std::vector<int32_t> r2(nnz), c2(nnz);
   for (int64_t i = 0; i < nnz; ++i) {
-    r2[i] = rows[order[i]];
-    c2[i] = cols[order[i]];
+    int64_t pos = cnt[rows[i]]++;
+    r2[pos] = rows[i];
+    c2[pos] = cols[i];
   }
   std::memcpy(rows, r2.data(), nnz * 4);
   std::memcpy(cols, c2.data(), nnz * 4);
@@ -456,6 +460,87 @@ void fmm_near_laplace(int64_t nnz, const int32_t* rows, const int32_t* cols,
     G_out[e] = G;
     dG_out[e] = dG;
   }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Near-field leaf-panel block fill (counterpart of the hot section of
+// fmm_bem_tpu/ops/near_panel.py build_near_panels): maps every COO
+// entry to its (pair, in-block) position and scatters the value into
+// the dense [npairs, KT*rdim, KS*cdim] block array.  The numpy
+// fancy-index + searchsorted version of this was ~250s at 1e8 nnz.
+
+extern "C" {
+
+void fmm_panel_fill(int64_t nnz, const int32_t* rows, const int32_t* cols,
+                    const float* vals,  // [nnz, rdim, cdim] row-major
+                    const int32_t* t_slot, const int32_t* s_slot,
+                    const int32_t* t_pos, const int32_t* s_pos,
+                    const int64_t* pair_key_sorted, int64_t npairs,
+                    int64_t mult, int rdim, int cdim, int KT, int KS,
+                    float* blocks /* [npairs, KT*rdim, KS*cdim] */) {
+  const int64_t KTr = (int64_t)KT * rdim;
+  const int64_t KSc = (int64_t)KS * cdim;
+  const int64_t bstride = KTr * KSc;
+#pragma omp parallel for schedule(static)
+  for (int64_t e = 0; e < nnz; ++e) {
+    const int32_t r = rows[e], c = cols[e];
+    const int64_t key = (int64_t)t_slot[r] * mult + s_slot[c];
+    const int64_t* lo =
+        std::lower_bound(pair_key_sorted, pair_key_sorted + npairs, key);
+    const int64_t pidx = lo - pair_key_sorted;
+    float* blk = blocks + pidx * bstride;
+    const int64_t rr = (int64_t)t_pos[r] * rdim;
+    const int64_t cc = (int64_t)s_pos[c] * cdim;
+    const float* v = vals + e * (int64_t)rdim * cdim;
+    for (int i = 0; i < rdim; ++i)
+      for (int j = 0; j < cdim; ++j)
+        blk[(rr + i) * KSc + cc + j] = v[i * cdim + j];
+  }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Near-singular candidate filter: emit only the COO entries whose
+// target-to-source distance triggers the semi-analytical / fine-
+// quadrature branch (ref LaplaceSphericalBEM::eval_G near test,
+// sqrt(2 A_s)/dist >= 0.5).  The regular-quadrature bulk is evaluated
+// on the accelerator directly in block layout, so the host never
+// expands the full 1e8-entry COO.
+
+extern "C" {
+
+int64_t fmm_near_candidates(
+    int64_t npairs, const int32_t* pairs,  // (src_box, tgt_box)
+    const int32_t* s_body_start, const int32_t* s_body_count,
+    const int32_t* t_body_start, const int32_t* t_body_count,
+    const double* t_xyz, const double* s_xyz, const double* s_area,
+    int32_t* rows_out, int32_t* cols_out, int64_t cap) {
+  int64_t n = 0;
+  for (int64_t i = 0; i < npairs; ++i) {
+    const int32_t s = pairs[2 * i], t = pairs[2 * i + 1];
+    for (int32_t bt = 0; bt < t_body_count[t]; ++bt) {
+      const int32_t r = t_body_start[t] + bt;
+      const double tx = t_xyz[3 * r], ty = t_xyz[3 * r + 1],
+                   tz = t_xyz[3 * r + 2];
+      for (int32_t bs = 0; bs < s_body_count[s]; ++bs) {
+        const int32_t c = s_body_start[s] + bs;
+        const double dx = tx - s_xyz[3 * c], dy = ty - s_xyz[3 * c + 1],
+                     dz = tz - s_xyz[3 * c + 2];
+        const double d2 = dx * dx + dy * dy + dz * dz;
+        if (2.0 * s_area[c] >= 0.25 * d2) {  // sqrt(2A)/d >= 0.5
+          if (n < cap) {
+            rows_out[n] = r;
+            cols_out[n] = c;
+          }
+          ++n;
+        }
+      }
+    }
+  }
+  return n;
 }
 
 }  // extern "C"

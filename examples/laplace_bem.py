@@ -33,6 +33,9 @@ def main():
     ap.add_argument("-solver_tol", type=float, default=1e-5)
     ap.add_argument("-max_iters", type=int, default=500)
     ap.add_argument("-fixed_p", action="store_true")
+    # ref scalar GMRES floors the relaxed order at 1 (GMRES.hpp:195);
+    # the Stokes driver floors at SolverOptions::p_min instead
+    ap.add_argument("-pmin", type=int, default=1)
     ap.add_argument("-second_kind", action="store_true")
     ap.add_argument("-fgmres", action="store_true")
     ap.add_argument("-mesh", type=str, default=None)
@@ -95,6 +98,7 @@ def main():
         max_iters=args.max_iters,
         restart=args.max_iters,
         max_p=max_p,
+        p_min=args.pmin,
         variable_p=not args.fixed_p,
     )
     solve = fgmres if args.fgmres else gmres

@@ -77,6 +77,11 @@ class FMMConfig:
     #: block-Jacobi operator (ref FMMOptions block_diagonal +
     #: EvalDiagonalSparse)
     block_diagonal: bool = False
+    #: drop-tolerance for the precomputed sparse near field: entries
+    #: with |value| <= droptol are dropped at plan build — the paper's
+    #: inexact-matvec knob the reference carries in
+    #: SparseMatrix::dot(x, droptol) (include/SparseMatrix.hpp:51-74)
+    droptol: float = 0.0
 
     def mac_accept(self, c1, r1, c2, r2):
         """Vectorised multipole-acceptance criterion (numpy arrays)."""
@@ -126,7 +131,16 @@ class SolverConfig:
             )
 
     def schedule_p(self, resid: float, p_fixed: Optional[int] = None) -> int:
-        """The per-iteration order: fixed, or relaxed from the residual."""
+        """The per-iteration order: fixed, or relaxed from the residual.
+
+        The relaxed order is floored at ``p_min`` — the reference's
+        Stokes solver floor (GMRES_Stokes.hpp:229
+        ``max(opts.p_min, predict_p(resid)-1)``; FGMRES :373) — so a
+        relaxed solve can never drop to orders where the matvec is too
+        inexact to keep the Krylov recurrence meaningful.  Drivers that
+        want the reference scalar-GMRES behaviour (``max(1, predict_p)``,
+        GMRES.hpp:195) pass ``p_min=1``.
+        """
         if p_fixed is not None or not self.variable_p:
             return p_fixed if p_fixed is not None else self.max_p
-        return max(1, self.predict_p(resid))
+        return max(1, self.p_min, self.predict_p(resid))

@@ -52,6 +52,65 @@ def _seg_sum(x, ids, num):
     return jax.ops.segment_sum(x, ids, num_segments=num)
 
 
+def check_kernel(kernel, config):
+    """Validate the kernel's batched-operator protocol for the requested
+    evaluation mode BEFORE any device work — the array-era analogue of
+    the reference's compile-time capability check (FMM_plan.hpp:115-127,
+    check_kernel via ExpansionTraits::is_valid_fmm/treecode).  A
+    malformed kernel otherwise fails with an opaque trace error deep
+    inside jit.
+    """
+    missing = []
+
+    def need(attr, why, callable_=True):
+        v = getattr(kernel, attr, None)
+        if v is None or (callable_ and not callable(v)):
+            missing.append(f"  .{attr}  — {why}")
+
+    kname = type(kernel).__name__
+    need("width", "expansion width(p) (terms per component)")
+    need("ncomp", "expansion components per box", callable_=False)
+    need("result_dim", "per-target result vector length", callable_=False)
+
+    near_only = config.local_evaluation or config.block_diagonal
+    if not near_only:
+        need("p2m", "source -> multipole (ref ExpansionTraits has_P2M)")
+        need("m2m_matrix", "child->parent translation (ref has_M2M)")
+        if config.evaluator == Evaluator.FMM:
+            need("m2l_matrix", "multipole->local translation (ref has_M2L)")
+            need("m2l_pair_scale", "per-pair M2L kernel scale")
+            need("l2l_matrix", "parent->child translation (ref has_L2L)")
+            if not (
+                callable(getattr(kernel, "l2p", None))
+                or callable(getattr(kernel, "l2p_table", None))
+            ):
+                missing.append(
+                    "  .l2p or .l2p_table  — local evaluation at targets"
+                    " (ref has_L2P)"
+                )
+        # treecode far field and the skew-pair fallback both need M2P
+        need("m2p", "multipole evaluation at targets (ref has_M2P)")
+
+    # near field: precomputed sparse values (BEM) or direct P2P tiles
+    if getattr(kernel, "near_sparse", False):
+        need("near_values", "host assembly of near-field entries")
+        need("near_matvec", "sparse near-field product")
+    else:
+        need("p2p_block", "leaf-pair direct tile (ref KernelTraits"
+             " has_eval_op / vector P2P)")
+
+    if missing:
+        mode = (
+            "near-field-only" if near_only else config.evaluator.value
+        )
+        raise TypeError(
+            f"kernel {kname} does not satisfy the batched operator "
+            f"protocol for {mode} evaluation (ref FMM_plan.hpp:115-127 "
+            f"check_kernel); missing:\n" + "\n".join(missing)
+            + "\nsee fmm_bem_tpu/kernels/skeleton.py for the protocol."
+        )
+
+
 @dataclasses.dataclass
 class _ClassedPairs:
     """M2L pairs grouped by scale-normalised translation class."""
@@ -192,6 +251,7 @@ class FmmPlan:
         self.kernel = kernel
         self.config = config or FMMConfig()
         cfg = self.config
+        check_kernel(kernel, cfg)
         scale_inv = getattr(kernel, "scale_invariant", True)
 
         src_xyz = np.asarray(fields["xyz"], dtype=np.float64)
@@ -288,6 +348,20 @@ class FmmPlan:
         cls_of_pair = []
         if len(s):
             offn = (tt.box_center[tg] - st.box_center[s]) / sig_s[:, None]
+            ki = np.round(offn * 64.0).astype(np.int64) + 4096
+            # pairs whose normalised offset escapes the class-key range
+            # (extreme level skew past the 2-sigma guard above) degrade
+            # to the M2P path instead of crashing plan build
+            over = ((ki < 0) | (ki >= 8192)).any(axis=1)
+            if over.any():
+                leaves, rows = expand_to_leaves(tt, tg[over])
+                m2p_extra_s.append(s[over][rows])
+                m2p_extra_t.append(leaves)
+                keep = ~over
+                s, tg = s[keep], tg[keep]
+                sig_s, sig_t = sig_s[keep], sig_t[keep]
+                offn, ki = offn[keep], ki[keep]
+        if len(s):
             dlvl = (
                 st.box_level[s].astype(np.int64)
                 - tt.box_level[tg].astype(np.int64)
@@ -298,8 +372,6 @@ class FmmPlan:
             lkey = dlvl if scale_inv else (
                 dlvl * 16 + st.box_level[s].astype(np.int64)
             )
-            ki = np.round(offn * 64.0).astype(np.int64) + 4096
-            assert (ki >= 0).all() and (ki < 8192).all(), "M2L offset overflow"
             key = ((lkey * 8192 + ki[:, 0]) * 8192 + ki[:, 1]) * 8192 + ki[:, 2]
             uniq, inv = np.unique(key, return_inverse=True)
             order = np.argsort(inv, kind="stable")
@@ -483,6 +555,17 @@ class FmmPlan:
             self.near_vals = self.kernel.near_values(
                 self.tgt.fields, self.src.fields, rows, cols
             )
+            if self.config.droptol > 0.0 and len(self.near_rows):
+                # drop-tolerance inexact near field (ref
+                # SparseMatrix.hpp:51-74): an entry survives if ANY of
+                # its value components exceeds the threshold (BEM
+                # kernels store (G, dGdn) pairs per entry)
+                v = np.abs(np.asarray(self.near_vals))
+                keep = v.reshape(len(self.near_rows), -1).max(axis=1) \
+                    > self.config.droptol
+                self.near_rows = self.near_rows[keep]
+                self.near_cols = self.near_cols[keep]
+                self.near_vals = self.near_vals[keep]
         self._near_panel_cache = {}
         self._near_meta = None
         self._use_panels = (

@@ -97,6 +97,9 @@ def gmres(
     # projections against the stored basis matrix at once (a [i, n]
     # matvec pair) — the reference's per-column dot loop
     # (GMRES.hpp:203-208) would cost one device round-trip per column.
+    # The basis buffer grows by doubling instead of allocating
+    # (restart+1) rows upfront: the default restart of 500 would pin
+    # 4 GB at n = 1e6 f64 even for a 5-iteration solve.
     @jax.jit
     def _ortho(Vbuf, w, i):
         mask = (jnp.arange(Vbuf.shape[0]) <= i)[:, None]
@@ -117,7 +120,8 @@ def gmres(
         if resid < cfg.residual:
             return x, SolveInfo(total_it, resid, True, history)
 
-        Vbuf = jnp.zeros((restart + 1, n), b.dtype).at[0].set(r / beta)
+        cap = min(restart + 1, 33)
+        Vbuf = jnp.zeros((cap, n), b.dtype).at[0].set(r / beta)
         Z = []
         H = np.zeros((restart + 1, restart))
         cs = np.zeros(restart + 1)
@@ -129,6 +133,11 @@ def gmres(
         for i in range(restart):
             if total_it >= cfg.max_iters:
                 break
+            if i + 1 >= Vbuf.shape[0]:  # grow the basis by doubling
+                grow = min(Vbuf.shape[0], restart + 1 - Vbuf.shape[0])
+                Vbuf = jnp.concatenate(
+                    [Vbuf, jnp.zeros((grow, n), b.dtype)]
+                )
             # ---- relaxation: predict p from current residual
             p = cfg.schedule_p(resid, p_fixed)
             z = M(Vbuf[i])
@@ -223,7 +232,10 @@ def _device_predict_p(resid, cfg):
         nu = eps
     raw = jnp.ceil(-jnp.log2(jnp.maximum(nu, 1e-300)))
     p = jnp.where(nu >= 1.0, 1.0, raw)
-    return jnp.clip(p, 1, cfg.max_p).astype(jnp.int32)
+    # floor at p_min to mirror SolverConfig.schedule_p (the reference's
+    # Stokes relaxation floor, GMRES_Stokes.hpp:229) — the tier-exit
+    # condition must agree with the host schedule or a tier could spin
+    return jnp.clip(p, max(1, cfg.p_min), cfg.max_p).astype(jnp.int32)
 
 
 def gmres_device(

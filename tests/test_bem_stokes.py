@@ -74,6 +74,10 @@ def test_stokes_bem_drag():
         config=SolverConfig(residual=1e-5, max_p=10, p_min=5),
     )
     assert info.converged
+    # the relaxed schedule must respect the Stokes p_min floor
+    # (ref GMRES_Stokes.hpp:229: max(opts.p_min, predict_p(resid)-1))
+    ps = [h[2] for h in info.history]
+    assert min(ps) >= 5, ps
     t_sol = np.asarray(x).reshape(n, 3)
     fx = float((t_sol[:, 0] * fields["area"]).sum())
     exact = 6 * np.pi * MU

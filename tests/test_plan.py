@@ -98,3 +98,59 @@ def test_relaxation_tiers_share_plan():
         _rel_err(plan.apply(q, p=p)[:, 0], exact[:, 0]) for p in (2, 4, 8)
     ]
     assert errs[2] < errs[1] < errs[0]
+
+
+def test_check_kernel_rejects_malformed():
+    """Plan build must fail with a readable protocol error, not a trace
+    error deep inside jit (ref FMM_plan.hpp:115-127 check_kernel)."""
+
+    class BadKernel:
+        ncomp = 1
+        result_dim = 1
+
+        def width(self, p):
+            return p
+
+    with pytest.raises(TypeError) as ei:
+        FmmPlan(BadKernel(), {"xyz": np.random.default_rng(0).uniform(0, 1, (100, 3))})
+    msg = str(ei.value)
+    assert "p2m" in msg and "m2l_matrix" in msg and "protocol" in msg
+
+
+def test_near_droptol_inexact_matvec():
+    """Drop-tolerance near field (ref SparseMatrix.hpp:51-74): small
+    entries are dropped at plan build; the matvec error is bounded by
+    droptol * row count and vanishes as droptol -> 0."""
+    from fmm_bem_tpu.bem.panels import make_panels
+    from fmm_bem_tpu.bem.triangulation import unit_sphere
+    from fmm_bem_tpu.kernels.laplace_bem import LaplaceBEMKernel
+
+    tris = unit_sphere(3)
+    fields = make_panels(tris, K=3)
+    n = len(tris)
+    q = np.random.default_rng(1).standard_normal(n)
+
+    base = FmmPlan(
+        LaplaceBEMKernel(K=3),
+        fields,
+        FMMConfig(ncrit=32, dtype="float64", max_p=8, near_panel=False),
+    )
+    # threshold at the 25th percentile of entry magnitudes so a known
+    # fraction of the near field is dropped
+    mags = np.abs(np.asarray(base.near_vals)).max(axis=1)
+    tol = float(np.quantile(mags, 0.25))
+    drop = FmmPlan(
+        LaplaceBEMKernel(K=3),
+        fields,
+        FMMConfig(
+            ncrit=32, dtype="float64", max_p=8, near_panel=False,
+            droptol=tol,
+        ),
+    )
+    kept = len(drop.near_rows) / len(base.near_rows)
+    assert 0.5 < kept < 0.9, kept
+    r0 = np.asarray(base.apply(q, p=8))[:, 0]
+    r1 = np.asarray(drop.apply(q, p=8))[:, 0]
+    rel = np.linalg.norm(r1 - r0) / np.linalg.norm(r0)
+    # inexact but bounded: dropped entries were the smallest quartile
+    assert 0 < rel < 0.5, rel

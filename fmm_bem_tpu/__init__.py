@@ -19,6 +19,18 @@ built once on the host, and the matvec replays them as batched
 matmuls/segment-sums on the TPU.
 """
 
+import jax as _jax
+
+# TPU matrix-matrix products default to single-pass bf16 inputs
+# (~2e-3 relative error) — catastrophic for an FMM whose M2M/M2L/L2L
+# translation chain and Krylov orthogonalisation are matmuls: measured
+# 6.6e-4 far-field error and a 38-vs-2 GMRES iteration gap vs the CPU
+# backend at 131k panels.  "highest" restores true-f32 (6-pass bf16,
+# 7e-8) at no measurable cost: every matmul on the matvec path is
+# bandwidth-bound at FMM expansion widths.  Matrix-vector products ride
+# the VPU at full f32 regardless, which is why this only shows on TPU.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from fmm_bem_tpu.config import FMMConfig, SolverConfig
 from fmm_bem_tpu.tree.octree import Tree, build_tree
 from fmm_bem_tpu.traversal.lists import InteractionLists, build_interaction_lists

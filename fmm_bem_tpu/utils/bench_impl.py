@@ -102,11 +102,12 @@ def run(backend="default", recursions=7, p=5, iters=10, chain=50):
 
     b = np.asarray(plan.apply(qn, p=p)[:, 0])
     mvf, op4pf = plan.solver_ops(flipped=True)
-    # 1e-4 is the f32 true-residual operating point at this size (the
-    # device solver verifies the TRUE residual after back-substitution,
-    # unlike the reference which trusts the Givens recurrence); the f64
-    # CPU test suite solves to the reference's 1e-5
-    cfg = SolverConfig(residual=1e-4, max_p=p, max_iters=60, restart=60)
+    # the reference's default residual tolerance (SolverOptions.hpp:23);
+    # achievable in f32 on TPU since the framework forces true-f32
+    # matmul precision (see fmm_bem_tpu/__init__.py) — and the device
+    # solver verifies the TRUE residual after back-substitution, unlike
+    # the reference which trusts the Givens recurrence
+    cfg = SolverConfig(residual=1e-5, max_p=p, max_iters=60, restart=60)
     ctx = DeviceGmresContext()
     # compile pass (tier executable + finish), then timed solve
     x, info = gmres_device(
@@ -118,6 +119,27 @@ def run(backend="default", recursions=7, p=5, iters=10, chain=50):
     )
     solve_s = time.time() - t0
     sol_err = float(np.linalg.norm(np.asarray(x) - 1.0) / np.sqrt(n))
+
+    # near-field kernel equivalence ON THIS BACKEND (the Pallas panel
+    # contraction vs the reference einsum on identical device arrays) —
+    # the numerical guard the CPU-only test suite cannot provide
+    from fmm_bem_tpu.ops.near_panel import panel_matvec
+
+    d = plan.device_data(p)
+    aux = plan.variant_aux(p)
+    qm = jnp.asarray(qn)[d["s_perm"]]
+    ql = jnp.where(
+        d["s_leaf_body_mask"], qm[d["s_leaf_body_idx"]], 0.0
+    )
+    o_pal = np.asarray(
+        panel_matvec(aux["panels"], plan._near_meta, ql)
+    )
+    o_ein = np.asarray(
+        panel_matvec(aux["panels"], plan._near_meta, ql, use_pallas=False)
+    )
+    near_equiv = float(
+        np.linalg.norm(o_pal - o_ein) / max(np.linalg.norm(o_ein), 1e-30)
+    )
 
     value = (float(n) * float(n)) / dt
     return {
@@ -132,6 +154,7 @@ def run(backend="default", recursions=7, p=5, iters=10, chain=50):
         "solve_iters": info.iterations,
         "solve_converged": bool(info.converged),
         "solution_err": sol_err,
+        "near_equiv_err": near_equiv,
         "value": value,
     }
 

@@ -918,29 +918,23 @@ class FmmPlan:
         out_leaf = panel_matvec(panels, self._near_meta, ql)
         return out_leaf.reshape(nl_t * K_t, rdim)[d["t_body_flat_slot"]]
 
-    def _matvec(self, d, sfields, tfields, q, p, aux=None):
+    # ------------------------------------------------------------------
+    # matvec phases (split out so utils/roofline.py can time each one
+    # and so the LET layer shares the same op shapes)
+    # ------------------------------------------------------------------
+    def _phase_p2m(self, d, aux, sfields, qm, p):
+        """P2M (ref EvalInteractionLazy.hpp:254-260, batched).
+        Linear-map table when available (charges x precomputed per-body
+        expansion contributions), else the kernel op.  Leaf-tile
+        reduction instead of a per-element segment_sum: bodies are
+        gathered into [nl, K] leaf tiles and summed densely (TPU
+        scatter-adds run at scalar speed), then ONE row scatter of nl
+        leaf expansions into the box table.  Expansions live FLAT as
+        [*, ncomp*W] — see _slice_mats_flat for the layout rationale."""
         kern = self.kernel
-        aux = aux or {}
-        panels = aux.get("panels")
-        st, tt = self.src.tree, self.tgt.tree
-        W = kern.width(p)
+        st = self.src.tree
         dt = jnp.dtype(self.config.dtype)
-        nl_t = len(self.tgt.leaf_ids)
-        K_t = self.tgt.leaf_pad
-
-        qm = jnp.asarray(q, dt)[d["s_perm"]]
-
-        # ---- P2M (ref EvalInteractionLazy.hpp:254-260, batched).
-        # Linear-map table when available (charges x precomputed
-        # per-body expansion contributions), else the kernel op.
-        # Leaf-tile reduction instead of a per-element segment_sum:
-        # bodies are gathered into [nl, K] leaf tiles and summed densely
-        # (TPU scatter-adds run at scalar speed), then ONE row scatter
-        # of nl leaf expansions into the box table.
-        # Expansions live FLAT as [*, ncomp*W] — see _slice_mats_flat
-        # for the layout rationale (TPU minor-dim tiling).
-        ncomp = kern.ncomp
-        cW = ncomp * W
+        cW = kern.ncomp * kern.width(p)
         if "p2m_tab" in aux:
             tab = aux["p2m_tab"]  # [n, cW] or [cdim, n, cW]
             if qm.ndim == 1:
@@ -953,14 +947,16 @@ class FmmPlan:
             ).reshape(-1, cW)
         ct = contrib[d["s_leaf_body_idx"]]
         ct = jnp.where(d["s_leaf_body_mask"][..., None], ct, 0.0)
-        M = (
+        return (
             jnp.zeros((st.num_boxes, cW), dt)
             .at[d["s_leaf_ids"]]
             .set(jnp.sum(ct, axis=1))
         )
 
-        # ---- M2M bottom-up (level-synchronous octant-class matmuls;
-        # replaces the reference's serial child->parent walk)
+    def _phase_m2m(self, d, M):
+        """M2M bottom-up (level-synchronous octant-class matmuls;
+        replaces the reference's serial child->parent walk)."""
+        st = self.src.tree
         for lvl in range(st.num_levels - 1, 0, -1):
             per_class = self.src.levels[lvl - 1]
             for c in range(8):
@@ -969,6 +965,24 @@ class FmmPlan:
                 nch, _, mi = per_class[c]
                 ch, pa = d["src_levels"][lvl - 1][c]
                 M = M.at[pa].add(M[ch] @ d["m2m_mats"][mi].T)
+        return M
+
+    def _matvec(self, d, sfields, tfields, q, p, aux=None):
+        kern = self.kernel
+        aux = aux or {}
+        panels = aux.get("panels")
+        st, tt = self.src.tree, self.tgt.tree
+        W = kern.width(p)
+        dt = jnp.dtype(self.config.dtype)
+        nl_t = len(self.tgt.leaf_ids)
+        K_t = self.tgt.leaf_pad
+        ncomp = kern.ncomp
+        cW = ncomp * W
+
+        qm = jnp.asarray(q, dt)[d["s_perm"]]
+
+        M = self._phase_p2m(d, aux, sfields, qm, p)
+        M = self._phase_m2m(d, M)
 
         res_m = jnp.zeros((tt.num_bodies, kern.result_dim), dt)
 
@@ -990,52 +1004,11 @@ class FmmPlan:
                 )
             return res_m[d["t_inv_perm"]]
 
-        # ---- M2L: ONE batched class matmul over all pair tiles (each
-        # tile is [TS*ncomp, W] x [W, W] on the MXU), then a scatter-free
-        # bucketed gather-sum into target locals (ops/bucket_sum.py) —
-        # the scatter-add this replaces dominated the whole matvec.
-        npairs_pad = len(self.m2l_tile_src)
-        if npairs_pad:
-            from fmm_bem_tpu.ops.bucket_sum import bucket_sum_apply
-
-            TS = self.m2l_tile_size
-            ntile = npairs_pad // TS
-            Mg = M[d["m2l_tile_src"]].reshape(ntile, TS, cW)
-            mats = d["m2l_mats"][d["m2l_tile_cls"]]  # [ntile, cW, cW]
-            outp = jnp.einsum("tpw,tvw->tpv", Mg, mats).reshape(
-                npairs_pad, cW
-            )
-            outp = outp * d["m2l_tile_scale"][:, None]
-            L = bucket_sum_apply(d["m2l_bsum"], outp)
-        else:
-            L = jnp.zeros((tt.num_boxes, cW), dt)
+        L = self._phase_m2l(d, M, p)
 
         if self.config.evaluator == Evaluator.FMM:
-            # ---- L2L top-down (target tree)
-            for lvl in range(1, tt.num_levels):
-                per_class = self.tgt.levels[lvl - 1]
-                for c in range(8):
-                    if per_class[c] is None:
-                        continue
-                    nch, _, mi = per_class[c]
-                    ch, pa = d["tgt_levels"][lvl - 1][c]
-                    L = L.at[ch].add(L[pa] @ d["l2l_mats"][mi].T)
-
-            # ---- L2P at target bodies (precomputed linear table when
-            # the kernel provides one)
-            Lb = L[d["t_body_leaf_box"]]
-            if "l2p_tab" in aux:
-                res_m = res_m + jnp.einsum(
-                    "nw,nwr->nr", Lb, aux["l2p_tab"]
-                )
-            else:
-                res_m = res_m + kern.l2p(
-                    tfields,
-                    Lb.reshape(-1, ncomp, W),
-                    d["t_body_dnorm"],
-                    d["t_body_inv_sigma"],
-                    p,
-                )
+            L = self._phase_l2l(d, L)
+            res_m = res_m + self._phase_l2p(d, aux, tfields, L, p)
 
         # ---- M2P (treecode far field and/or skew fallback)
         if len(self.m2p_src):
@@ -1060,6 +1033,58 @@ class FmmPlan:
 
         # back to user ordering (inverse-permutation GATHER, not scatter)
         return res_m[d["t_inv_perm"]]
+
+    def _phase_m2l(self, d, M, p):
+        """M2L: ONE batched class matmul over all pair tiles (each tile
+        is [TS*ncomp, W] x [W, W] on the MXU), then a scatter-free
+        bucketed gather-sum into target locals (ops/bucket_sum.py) —
+        the scatter-add this replaces dominated the whole matvec."""
+        kern = self.kernel
+        tt = self.tgt.tree
+        dt = jnp.dtype(self.config.dtype)
+        cW = kern.ncomp * kern.width(p)
+        npairs_pad = len(self.m2l_tile_src)
+        if not npairs_pad:
+            return jnp.zeros((tt.num_boxes, cW), dt)
+        from fmm_bem_tpu.ops.bucket_sum import bucket_sum_apply
+
+        TS = self.m2l_tile_size
+        ntile = npairs_pad // TS
+        Mg = M[d["m2l_tile_src"]].reshape(ntile, TS, cW)
+        mats = d["m2l_mats"][d["m2l_tile_cls"]]  # [ntile, cW, cW]
+        outp = jnp.einsum("tpw,tvw->tpv", Mg, mats).reshape(
+            npairs_pad, cW
+        )
+        outp = outp * d["m2l_tile_scale"][:, None]
+        return bucket_sum_apply(d["m2l_bsum"], outp)
+
+    def _phase_l2l(self, d, L):
+        """L2L top-down (target tree)."""
+        tt = self.tgt.tree
+        for lvl in range(1, tt.num_levels):
+            per_class = self.tgt.levels[lvl - 1]
+            for c in range(8):
+                if per_class[c] is None:
+                    continue
+                nch, _, mi = per_class[c]
+                ch, pa = d["tgt_levels"][lvl - 1][c]
+                L = L.at[ch].add(L[pa] @ d["l2l_mats"][mi].T)
+        return L
+
+    def _phase_l2p(self, d, aux, tfields, L, p):
+        """L2P at target bodies (precomputed linear table when the
+        kernel provides one)."""
+        kern = self.kernel
+        Lb = L[d["t_body_leaf_box"]]
+        if "l2p_tab" in aux:
+            return jnp.einsum("nw,nwr->nr", Lb, aux["l2p_tab"])
+        return kern.l2p(
+            tfields,
+            Lb.reshape(-1, kern.ncomp, kern.width(p)),
+            d["t_body_dnorm"],
+            d["t_body_inv_sigma"],
+            p,
+        )
 
     def _m2p_pass(self, d, tfields, M, p, nl, K, dt):
         kern = self.kernel

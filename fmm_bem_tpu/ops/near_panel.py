@@ -77,6 +77,9 @@ def build_near_panels(
     nl_t,
     edges=DEFAULT_EDGES,
     dtype=np.float32,
+    tgt_slot_local=None,
+    src_slot_local=None,
+    nl_src_local=None,
 ):
     """Assemble bucketed leaf panels from COO near-field entries.
 
@@ -87,6 +90,11 @@ def build_near_panels(
     vals : [nnz] scalar or [nnz, rdim, cdim] matrix entry values,
         already BC-selected for the operator variant.
     src_side / tgt_side : plan _TreeSide objects (leaf tiles).
+    tgt_slot_local / src_slot_local : optional monotone global->local
+        slot maps (LET sharding: bucket rows / charge-table columns are
+        indexed in a device-local numbering while entry bookkeeping
+        stays global).  ``nl_t`` then counts LOCAL target leaves and
+        ``nl_src_local`` sizes the local charge table.
     """
     vals = np.asarray(vals)
     if vals.ndim == 1:
@@ -106,7 +114,11 @@ def build_near_panels(
     ts = pair_tgt_slot[po]
     ss = pair_src_slot[po]
     npairs = len(ts)
-    row_ptr = np.searchsorted(ts, np.arange(nl_t + 1))
+    # bucket rows by the (local) target index; a monotone local map
+    # preserves the sort order above
+    ts_b = ts if tgt_slot_local is None else tgt_slot_local[ts]
+    ss_l = ss if src_slot_local is None else src_slot_local[ss]
+    row_ptr = np.searchsorted(ts_b, np.arange(nl_t + 1))
     m_per = np.diff(row_ptr)
 
     # entry -> (pair, in-block position)
@@ -159,7 +171,9 @@ def build_near_panels(
         A = np.zeros((nl_b, KTr, Lb), dtype)
         # source-leaf slot per panel column group; dummy = nl_src (a
         # zero charge row appended by panel_matvec)
-        nl_src = len(src_side.leaf_ids)
+        nl_src = (
+            len(src_side.leaf_ids) if nl_src_local is None else nl_src_local
+        )
         pidx = np.full((nl_b, m_b), nl_src, np.int32)
         for k, l in enumerate(sel):
             p0, p1 = row_ptr[l], row_ptr[l + 1]
@@ -167,7 +181,7 @@ def build_near_panels(
             A[k, :, : m * KSc] = (
                 blocks[p0:p1].transpose(1, 0, 2).reshape(KTr, m * KSc)
             )
-            pidx[k, :m] = ss[p0:p1]
+            pidx[k, :m] = ss_l[p0:p1]
         buckets.append((A, pidx))
         order.append(sel)
 
@@ -209,6 +223,9 @@ def build_near_panels_on_device(
     edges=DEFAULT_EDGES,
     dtype=jnp.float32,
     jit_cache=None,
+    tgt_slot_local=None,
+    src_slot_local=None,
+    nl_src_local=None,
 ):
     """Assemble bucketed leaf panels with the interaction blocks
     computed ON the accelerator.
@@ -240,9 +257,15 @@ def build_near_panels_on_device(
     ts = pair_tgt_slot[po]
     ss = pair_src_slot[po]
     npairs = len(ts)
-    row_ptr = np.searchsorted(ts, np.arange(nl_t + 1))
+    # LET sharding: bucket by local target index, column-index the local
+    # charge table (see build_near_panels); entry keys stay global
+    ts_b = ts if tgt_slot_local is None else tgt_slot_local[ts]
+    ss_l = ss if src_slot_local is None else src_slot_local[ss]
+    row_ptr = np.searchsorted(ts_b, np.arange(nl_t + 1))
     m_per = np.diff(row_ptr)
-    nl_src = len(src_side.leaf_ids)
+    nl_src = (
+        len(src_side.leaf_ids) if nl_src_local is None else nl_src_local
+    )
 
     # host: near-singular corrections as FLAT indices into the block
     # array (a 1-D scatter lowers far better than a 3-index one)
@@ -256,7 +279,9 @@ def build_near_panels_on_device(
             src_side.tree.box_body_start[src_side.tree.body_leaf]
         t_pos = np.arange(tgt_side.tree.num_bodies) - \
             tgt_side.tree.box_body_start[tgt_side.tree.body_leaf]
-        mult = nl_src + 1
+        # GLOBAL slot multiplier: ss and s_slot are global leaf slots
+        # even when the charge table is locally renumbered
+        mult = int(len(src_side.leaf_ids)) + 1
         pair_key = ts.astype(np.int64) * mult + ss
         entry_key = t_slot[rows].astype(np.int64) * mult + s_slot[cols]
         pidx_e = np.searchsorted(pair_key, entry_key)
@@ -294,7 +319,7 @@ def build_near_panels_on_device(
             p0, p1 = row_ptr[l], row_ptr[l + 1]
             m = p1 - p0
             pair_ids[k, :m] = np.arange(p0, p1, dtype=np.int32)
-            slot_ids[k, :m] = ss[p0:p1]
+            slot_ids[k, :m] = ss_l[p0:p1]
         bucket_pair_ids.append(pair_ids)
         bucket_slot_ids.append(slot_ids)
         order.append(sel)

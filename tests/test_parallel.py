@@ -61,3 +61,109 @@ def test_sharded_solve_step_runs():
     w, coeffs, beta = step(v, basis)
     assert np.isfinite(np.asarray(w)).all()
     assert float(beta) > 0
+
+
+# ----------------------------------------------------------------------
+# LET distribution layer (parallel/let.py): explicit shard_map
+# collectives, sharded panels/tiles/expansions
+# ----------------------------------------------------------------------
+from fmm_bem_tpu.parallel.let import LetPlan  # noqa: E402
+
+
+@pytest.mark.parametrize("ndev", [2, 8])
+def test_let_point_matvec_matches(ndev):
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(0, 1, (1536, 3))
+    q = rng.standard_normal(1536)
+    plan = FmmPlan(
+        LaplaceKernel(), {"xyz": pts},
+        FMMConfig(ncrit=32, dtype="float64", max_p=8),
+    )
+    ref = np.asarray(plan.apply(q, p=6))
+    out = LetPlan(plan, ndev).apply(q, p=6)
+    assert np.abs(out - ref).max() < 1e-10
+
+
+@pytest.mark.parametrize("ndev", [2, 8])
+def test_let_bem_matvec_matches(ndev):
+    tris = unit_sphere(4)
+    fields = make_panels(tris, K=3)
+    plan = FmmPlan(
+        LaplaceBEMKernel(K=3), fields,
+        FMMConfig(ncrit=32, dtype="float64", max_p=8),
+    )
+    q = np.random.default_rng(1).standard_normal(len(tris))
+    ref = np.asarray(plan.apply(q, p=8))
+    out = LetPlan(plan, ndev).apply(q, p=8)
+    assert np.abs(out - ref).max() < 1e-10
+
+
+def test_let_flipped_variant_matches():
+    tris = unit_sphere(3)
+    fields = make_panels(tris, K=3)
+    plan = FmmPlan(
+        LaplaceBEMKernel(K=3), fields,
+        FMMConfig(ncrit=32, dtype="float64", max_p=8),
+    )
+    q = np.random.default_rng(2).standard_normal(len(tris))
+    ref = np.asarray(plan.apply_flipped_bc(q, p=8))
+    out = LetPlan(plan, 8, flipped=True).apply(q, p=8)
+    assert np.abs(out - ref).max() < 1e-10
+
+
+def test_let_full_solve_matches_single_device():
+    """Distributed second-kind BEM solve == single-device solve: the
+    whole Krylov iteration runs on sharded state with the LET matvec."""
+    from fmm_bem_tpu.config import SolverConfig
+    from fmm_bem_tpu.solver.gmres import gmres_device
+
+    tris = unit_sphere(4)
+    fields = make_panels(tris, K=3)
+    n = len(tris)
+    plan = FmmPlan(
+        LaplaceBEMKernel(K=3), fields,
+        FMMConfig(ncrit=32, dtype="float64", max_p=8),
+    )
+    q = np.ones(n)
+    b = np.asarray(plan.apply(q, p=5)[:, 0])
+    cfg = SolverConfig(residual=1e-6, max_p=5, max_iters=40, restart=40)
+
+    mv, op4p = plan.solver_ops(flipped=True)
+    x_ref, info_ref = gmres_device(mv, b, operand_for_p=op4p, config=cfg,
+                                   p_fixed=5)
+
+    lp = LetPlan(plan, 8, flipped=True)
+    mv_let, op4p_let = lp.solver_ops()
+    b_pad = lp.to_padded(b)
+    x_pad, info = gmres_device(
+        mv_let, b_pad, operand_for_p=op4p_let, config=cfg, p_fixed=5
+    )
+    x_let = lp.from_padded(np.asarray(x_pad)[:, None])[:, 0]
+    assert info.converged and info_ref.converged
+    assert abs(info.iterations - info_ref.iterations) <= 1
+    assert np.abs(x_let - np.asarray(x_ref)).max() < 1e-5
+
+
+def test_let_no_bulk_collectives():
+    """The compiled sharded matvec must not move O(N) panel/tile data:
+    every collective operand stays below the halo scale."""
+    tris = unit_sphere(4)
+    fields = make_panels(tris, K=3)
+    plan = FmmPlan(
+        LaplaceBEMKernel(K=3), fields,
+        FMMConfig(ncrit=32, dtype="float64", max_p=8),
+    )
+    lp = LetPlan(plan, 8)
+    fn, dd = lp.matvec_fn(5)
+    qp = lp.to_padded(np.ones(len(tris)))
+    txt = jax.jit(fn).lower(dd, qp).compile().as_text()
+    import sys as _sys
+
+    _sys.path.insert(0, __file__.rsplit("/", 2)[0] + "/examples")
+    from scaling_multichip import max_collective_bytes_hlo
+
+    panel_bytes = lp.stats()["near_panel_bytes_per_dev"]
+    coll, desc = max_collective_bytes_hlo(txt, 8)
+    assert coll > 0, "expected explicit collectives in the LET matvec"
+    # collectives stay well below the sharded panel state
+    assert coll < panel_bytes, (coll, desc, panel_bytes)

@@ -52,6 +52,32 @@ def _seg_sum(x, ids, num):
     return jax.ops.segment_sum(x, ids, num_segments=num)
 
 
+def chunked_vmap(f, args, chunk):
+    """vmap(f) evaluated in fixed-size chunks via lax.map: bounds the
+    transient memory of pair-blocked operators (a P2P block batch of
+    60k pairs x [64, 64] values would otherwise materialise ~1 GB and
+    thrash the allocator — FMMConfig.p2p_chunk is the knob)."""
+    n = jax.tree_util.tree_leaves(args)[0].shape[0]
+    if chunk <= 0 or n <= chunk:
+        return jax.vmap(f)(*args)
+    nch = -(-n // chunk)
+    pad = nch * chunk - n
+
+    def pad_arg(a):
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]
+            )
+        return a.reshape((nch, chunk) + a.shape[1:])
+
+    argsp = jax.tree_util.tree_map(pad_arg, args)
+    out = jax.lax.map(lambda ch: jax.vmap(f)(*ch), argsp)
+    out = jax.tree_util.tree_map(
+        lambda o: o.reshape((nch * chunk,) + o.shape[2:])[:n], out
+    )
+    return out
+
+
 def check_kernel(kernel, config):
     """Validate the kernel's batched-operator protocol for the requested
     evaluation mode BEFORE any device work — the array-era analogue of
@@ -281,14 +307,19 @@ class FmmPlan:
             tfields = sfields
 
         pmax = cfg.max_p
-        self.src = _build_side(stree, sfields, kernel, pmax, scale_inv)
-        self.tgt = (
-            _build_side(ttree, tfields, kernel, pmax, scale_inv)
-            if self.dual
-            else self.src
-        )
-        self._build_m2l_classes()
-        self._build_near()
+        from fmm_bem_tpu.utils.metrics import log
+
+        with log.phase("build.sides"):
+            self.src = _build_side(stree, sfields, kernel, pmax, scale_inv)
+            self.tgt = (
+                _build_side(ttree, tfields, kernel, pmax, scale_inv)
+                if self.dual
+                else self.src
+            )
+        with log.phase("build.m2l_classes"):
+            self._build_m2l_classes()
+        with log.phase("build.near"):
+            self._build_near()
         self._apply_cache = {}
 
     # convenience accessors (single-tree compatibility)
@@ -1103,7 +1134,10 @@ class FmmPlan:
             return kern.m2p(fields_rows, mb, dnp, jnp.full((K,), isig, dt), p)
 
         fields_rows = {k: v[bidx] for k, v in tfields.items()}
-        vals = jax.vmap(one_pair)(Ms, dn, inv_sig, fields_rows)
+        vals = chunked_vmap(
+            one_pair, (Ms, dn, inv_sig, fields_rows),
+            self.config.p2p_chunk,
+        )
         seg = _seg_sum(vals, tgt_slots, nl)
         return seg.reshape(nl * K, -1)[d["t_body_flat_slot"]]
 
@@ -1124,7 +1158,10 @@ class FmmPlan:
         def one_pair(tf, sf, qrow, mrow):
             return kern.p2p_block(tf, sf, qrow, mrow)
 
-        vals = jax.vmap(one_pair)(tgt_rows, src_rows, qg, smask)
+        vals = chunked_vmap(
+            one_pair, (tgt_rows, src_rows, qg, smask),
+            self.config.p2p_chunk,
+        )
         seg = _seg_sum(vals, tslot, nl)
         return seg.reshape(nl * K, -1)[d["t_body_flat_slot"]]
 
@@ -1166,7 +1203,12 @@ class FmmPlan:
             if (self.dual or target_fields is not None)
             else sf
         )
-        return fn(d, aux, sf, tf, charges)
+        from fmm_bem_tpu.utils.metrics import log
+
+        # dispatch accounting only (no forced sync — timing the device
+        # per phase is utils/roofline.phase_breakdown's job)
+        with log.phase(f"matvec[p={p}]", work=self.src.tree.num_bodies):
+            return fn(d, aux, sf, tf, charges)
 
     def device_data(self, p):
         """Per-order device arrays (cached): translation matrices are

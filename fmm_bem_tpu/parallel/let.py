@@ -1123,7 +1123,13 @@ class LetPlan:
             qgp = jnp.where(
                 mrow[..., None] if cdim > 1 else mrow, qgp, 0.0
             )
-            vals = jax.vmap(kern.p2p_block)(tgt_rows, src_rows, qgp, mrow)
+            from fmm_bem_tpu.executor.plan import chunked_vmap
+
+            vals = chunked_vmap(
+                lambda tf, sf, qr, mr: kern.p2p_block(tf, sf, qr, mr),
+                (tgt_rows, src_rows, qgp, mrow),
+                plan.config.p2p_chunk,
+            )
             p2p_leaf = jax.ops.segment_sum(
                 vals, tloc, num_segments=self.nl_max + 1
             )[: self.nl_max].reshape(self.nl_max, K * rdim)
@@ -1196,7 +1202,12 @@ class LetPlan:
                 mb = jnp.broadcast_to(m, (K,) + m.shape)
                 return kern.m2p(fr, mb, dnp, jnp.full((K,), s, dt), p)
 
-            vals = jax.vmap(one_pair)(Ms, dn, isig, fields_rows)
+            from fmm_bem_tpu.executor.plan import chunked_vmap
+
+            vals = chunked_vmap(
+                one_pair, (Ms, dn, isig, fields_rows),
+                plan.config.p2p_chunk,
+            )
             seg = jax.ops.segment_sum(
                 vals, tslot, num_segments=self.nl_max + 1
             )[: self.nl_max]

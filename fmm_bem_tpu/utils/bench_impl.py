@@ -22,6 +22,13 @@ def run(backend="default", recursions=7, p=5, iters=10, chain=50):
 
     if backend == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    # persistent compilation cache: repeat benches / production runs
+    # skip the (tens of seconds) XLA compile entirely
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_ccache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     import numpy as np
 
@@ -141,6 +148,16 @@ def run(backend="default", recursions=7, p=5, iters=10, chain=50):
         np.linalg.norm(o_pal - o_ein) / max(np.linalg.norm(o_ein), 1e-30)
     )
 
+    # per-phase device timings + roofline scores (the reference's
+    # per-matvec P2P/M2L split, EvalInteractionLazy.hpp:137-152,
+    # upgraded with %-of-peak accounting)
+    from fmm_bem_tpu.utils.roofline import phase_breakdown
+
+    phases = {
+        k: {kk: round(float(vv), 3) for kk, vv in v.items()}
+        for k, v in phase_breakdown(plan, p, chain=20, iters=3).items()
+    }
+
     value = (float(n) * float(n)) / dt
     return {
         "backend": platform,
@@ -155,6 +172,7 @@ def run(backend="default", recursions=7, p=5, iters=10, chain=50):
         "solve_converged": bool(info.converged),
         "solution_err": sol_err,
         "near_equiv_err": near_equiv,
+        "phases": phases,
         "value": value,
     }
 

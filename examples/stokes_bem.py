@@ -34,6 +34,10 @@ def main():
     ap.add_argument("-max_iters", type=int, default=100)
     ap.add_argument("-fixed_p", action="store_true")
     ap.add_argument("-fgmres", action="store_true")
+    # inner-outer FMGMRES: inner relaxed GMRES on the same plan as the
+    # right preconditioner (ref examples/BEM/fmgmres.hpp)
+    ap.add_argument("-fmgmres", action="store_true")
+    ap.add_argument("-inner_iters", type=int, default=10)
     ap.add_argument("-rbc", action="store_true", help="red blood cell geometry")
     ap.add_argument("-cells", type=int, default=1)
     ap.add_argument("-dtype", default="float64")
@@ -94,16 +98,24 @@ def main():
         p_min=args.pmin,
         variable_p=not args.fixed_p,
     )
-    solve = fgmres if args.fgmres else gmres
-
     def matvec(x, p):
         return plan.apply(x.reshape(n, 3), p=p).reshape(-1)
 
     t0 = time.time()
-    x, info = solve(
-        matvec, b.reshape(-1), config=scfg,
-        p_fixed=args.p if args.fixed_p else None, verbose=True,
-    )
+    if args.fmgmres:
+        from fmm_bem_tpu.solver.fmgmres import fmgmres
+
+        x, info = fmgmres(
+            matvec, b.reshape(-1), config=scfg,
+            inner_iters=args.inner_iters, p_inner=args.pmin,
+            verbose=True,
+        )
+    else:
+        solve = fgmres if args.fgmres else gmres
+        x, info = solve(
+            matvec, b.reshape(-1), config=scfg,
+            p_fixed=args.p if args.fixed_p else None, verbose=True,
+        )
     print(f"\nTIMING:\n\tsolve : {time.time()-t0:.4e}s "
           f"({info.iterations} its, residual {info.residual:.3e})")
 

@@ -216,3 +216,93 @@ def test_gmres_device_matches_host_on_bem_relaxed():
     # second-kind sphere: solution is phi = 1
     err = np.linalg.norm(np.asarray(x_d) - 1.0) / np.sqrt(n)
     assert err < 0.05, err
+
+
+# ----------------------------------------------------------------------
+# FMGMRES inner-outer preconditioning (ref examples/BEM/fmgmres.hpp)
+# ----------------------------------------------------------------------
+from fmm_bem_tpu.solver.fmgmres import (  # noqa: E402
+    fmgmres,
+    fmgmres_device,
+    make_inner_pc_device,
+)
+
+
+def test_fmgmres_dense_converges_fewer_outer_iterations():
+    rng = np.random.default_rng(20)
+    n = 120
+    # moderately ill-conditioned SPD-ish system so plain GMRES needs
+    # many iterations
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    diag = np.logspace(0, 3, n)
+    A = Q @ np.diag(diag) @ Q.T
+    b = rng.standard_normal(n)
+    Aj = jnp.asarray(A)
+    mv = lambda v, p: Aj @ v
+
+    cfg = SolverConfig(residual=1e-8, max_iters=200, restart=200)
+    x0, info0 = gmres(mv, b, config=cfg, p_fixed=1)
+    x1, info1 = fmgmres(mv, b, config=cfg, inner_iters=20, inner_tol=1e-2,
+                        p_inner=1)
+    assert info1.converged
+    assert info1.iterations < info0.iterations / 2, (
+        info0.iterations, info1.iterations)
+    assert np.allclose(np.asarray(x1), np.linalg.solve(A, b), atol=1e-5)
+
+
+def test_fmgmres_device_matches_host_quality():
+    rng = np.random.default_rng(21)
+    n = 100
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    A = Q @ np.diag(np.logspace(0, 2.5, n)) @ Q.T
+    b = rng.standard_normal(n)
+    Aj = jnp.asarray(A)
+    mv = lambda op, v, p: Aj @ v
+
+    cfg = SolverConfig(residual=1e-8, max_iters=120, restart=120)
+    x, info = fmgmres_device(
+        mv, b, operand_for_p=lambda p: None, config=cfg, inner_k=10,
+        p_inner=1,
+    )
+    assert info.converged
+    # unpreconditioned device solve for comparison
+    from fmm_bem_tpu.solver.gmres import gmres_device
+
+    _, info0 = gmres_device(mv, b, config=cfg, p_fixed=1)
+    assert info.iterations < info0.iterations / 2
+    assert np.allclose(np.asarray(x), np.linalg.solve(A, b), atol=1e-5)
+
+
+def test_fmgmres_on_stokes_bem_reduces_outer_iterations():
+    """The reference workload: inner relaxed GMRES on the same Stokes
+    plan preconditioning the outer flexible solve (fmgmres.hpp)."""
+    from fmm_bem_tpu.bem.panels import make_panels
+    from fmm_bem_tpu.bem.triangulation import unit_sphere
+    from fmm_bem_tpu.kernels.stokes_bem import StokesBEMKernel
+
+    tris = unit_sphere(3)
+    fields = make_panels(tris, K=4)
+    n = len(tris)
+    plan = FmmPlan(
+        StokesBEMKernel(K=4, fine_K=19, mu=1e-3),
+        fields,
+        FMMConfig(ncrit=32, dtype="float64", max_p=10),
+    )
+    b = np.tile(np.array([4 * np.pi, 0.0, 0.0]), (n, 1)).reshape(-1)
+
+    def mv(x, p):
+        return plan.apply(x.reshape(n, 3), p=p).reshape(-1)
+
+    cfg = SolverConfig(residual=1e-5, max_p=10, p_min=5)
+    x0, info0 = gmres(mv, b, config=cfg)
+    x1, info1 = fmgmres(mv, b, config=cfg, inner_iters=10,
+                        inner_tol=1e-1, p_inner=5)
+    assert info1.converged
+    assert info1.iterations < info0.iterations, (
+        info0.iterations, info1.iterations)
+    # same physics: both give the Stokes drag
+    t0 = np.asarray(x0).reshape(n, 3)
+    t1 = np.asarray(x1).reshape(n, 3)
+    fx0 = float((t0[:, 0] * fields["area"]).sum())
+    fx1 = float((t1[:, 0] * fields["area"]).sum())
+    assert abs(fx1 - fx0) / abs(fx0) < 1e-3

@@ -43,6 +43,9 @@ def main():
     ap.add_argument("-max_p", type=int, default=None)
     ap.add_argument("-dtype", default="float64")
     ap.add_argument("-cpu", action="store_true", help="force host platform")
+    ap.add_argument("-checkpoint", default=None,
+                    help="Krylov checkpoint path (resume if present)")
+    ap.add_argument("-checkpoint_every", type=int, default=8)
     args = ap.parse_args()
 
     if args.cpu:
@@ -110,6 +113,8 @@ def main():
         M=M,
         p_fixed=args.p if args.fixed_p else None,
         verbose=True,
+        checkpoint_path=args.checkpoint,
+        checkpoint_every=args.checkpoint_every,
     )
     solve_time = time.time() - t0
     print(f"\nTIMING:\n\tsolve : {solve_time:.4e}s  "

@@ -44,6 +44,9 @@ def main():
     ap.add_argument("-out_prefix", default=None,
                     help="write out.face/out.vert/out.charge dumps")
     ap.add_argument("-cpu", action="store_true", help="force host platform")
+    ap.add_argument("-checkpoint", default=None,
+                    help="Krylov checkpoint path (resume if present)")
+    ap.add_argument("-checkpoint_every", type=int, default=8)
     args = ap.parse_args()
 
     if args.cpu:
@@ -115,6 +118,8 @@ def main():
         x, info = solve(
             matvec, b.reshape(-1), config=scfg,
             p_fixed=args.p if args.fixed_p else None, verbose=True,
+            checkpoint_path=args.checkpoint,
+            checkpoint_every=args.checkpoint_every,
         )
     print(f"\nTIMING:\n\tsolve : {time.time()-t0:.4e}s "
           f"({info.iterations} its, residual {info.residual:.3e})")

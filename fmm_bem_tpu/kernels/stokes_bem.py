@@ -12,9 +12,8 @@ and scale by the target's BC: velocity targets read set 0 scaled by
 
 Near-field entries are 3x3 blocks assembled on the host:
   velocity  (ref eval_velocity_integral :261-375):
-      self -> singular single-layer integral (split-Duffy quadrature
-              standing in for the reference's closed-form Fata
-              integrals) / (2 mu)
+      self -> singular single-layer integral, closed form
+              (bem/analytical.py, the Fata role) / (2 mu)
       near -> K_fine-point quadrature of (r^2 I + dx dx)/r^3 / (2 mu)
       far  -> K-point quadrature of the same
   traction  (ref eval_traction_integral :160-258):
@@ -59,10 +58,10 @@ def _stresslet_block(dx, r2, normal, eps2=1e-8):
 
 
 def _self_velocity_integral(verts, x, n_duffy=24):
-    """Singular single-layer integral over a panel containing its own
-    target: split at x into 3 sub-triangles, Duffy-collapse the singular
-    vertex (numerically equivalent role to the reference's Fata
-    closed-form, StokesSphericalBEM.hpp:279-293)."""
+    """Split-Duffy quadrature of the singular single-layer integral
+    (numerical fallback / cross-check for the closed form below —
+    tests/test_bem_integrals.py pins its convergence): split at x into
+    3 sub-triangles, Duffy-collapse the singular vertex."""
     pts, wts = duffy_rule(n_duffy)
     out = np.zeros((len(x), 3, 3))
     v = [verts[:, 0], verts[:, 1], verts[:, 2]]
@@ -128,7 +127,11 @@ def stokes_near_entries(tgt_fields, src_fields, t_idx, s_idx, mu, fine_K=19):
         vel[near] = quad_blocks(near, Fp, Fw, "vel")
         trac[near] = quad_blocks(near, Fp, Fw, "trac")
     if self_.any():
-        vel[self_] = _self_velocity_integral(sv[self_], t[self_])
+        # closed-form Fata-role integral (exact for the flat panel;
+        # ref StokesSphericalBEM.hpp:279-293 / FataAnalytical.hpp)
+        from fmm_bem_tpu.bem.analytical import stokes_single_layer_self
+
+        vel[self_] = stokes_single_layer_self(sv[self_], t[self_])
         trac[self_] = 2.0 * np.pi * np.eye(3)
 
     vel = vel / (2.0 * mu)

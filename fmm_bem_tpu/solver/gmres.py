@@ -13,6 +13,7 @@ compiled specialisation instead of rebuilding kernel tables.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Callable, Optional
 
 import jax.numpy as jnp
@@ -52,6 +53,52 @@ def _gen_rotation(dx, dy):
     return cs, t * cs
 
 
+# ----------------------------------------------------------------------
+# Krylov-state checkpointing (SURVEY.md §5.4 — a subsystem the reference
+# lacks; required of the TPU build for long solves on shared chips).
+# The whole Arnoldi state is pure arrays, so a checkpoint is one npz and
+# a resumed solve replays the remaining iterations bit-identically: the
+# masked Gram-Schmidt sums are exact under extra zero rows and every
+# other update depends only on the saved (V, Z, H, cs, sn, s, i, x).
+# ----------------------------------------------------------------------
+
+
+def _save_krylov_ckpt(path, kind, **arrays):
+    from fmm_bem_tpu.utils.checkpoint import save_checkpoint
+
+    save_checkpoint(path, kind=np.bytes_(kind), **arrays)
+
+
+def _load_krylov_ckpt(path, kind, n):
+    """Load a Krylov checkpoint; None if absent/mismatched."""
+    from fmm_bem_tpu.utils.checkpoint import load_checkpoint
+
+    if path is None:
+        return None
+    d = load_checkpoint(path)
+    if d is None:
+        return None
+    if bytes(d["kind"]) != kind.encode() or int(d["n"]) != n:
+        return None
+    return d
+
+
+def _embed(a, shape):
+    """Place ``a`` into the leading corner of zeros(shape).
+
+    Buffer sizes are derived from ``min(restart, max_iters, n)``, so a
+    checkpoint written by a run with different limits carries smaller
+    (or larger) arrays than the resuming run allocates; the Arnoldi
+    trajectory itself is identical — only padding differs, and padded
+    zeros contribute exactly 0.0 to every masked reduction, keeping the
+    resumed replay bit-identical."""
+    a = np.asarray(a)
+    out = np.zeros(shape, a.dtype)
+    sl = tuple(slice(0, min(sa, st)) for sa, st in zip(a.shape, shape))
+    out[sl] = a[sl]
+    return out
+
+
 def gmres(
     matvec: Callable,
     b,
@@ -61,6 +108,8 @@ def gmres(
     p_fixed: Optional[int] = None,
     flexible: bool = False,
     verbose: bool = False,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 8,
 ):
     """Solve A x = b with right-preconditioned restarted GMRES.
 
@@ -73,6 +122,10 @@ def gmres(
         preconditioner is applied consistently (ref GMRES.hpp:276-380).
     p_fixed : disable relaxation and use this order for every matvec
         (the reference's ``-fixed_p`` flag, LaplaceBEM.cpp:120).
+    checkpoint_path : if set, the full Krylov state is saved there every
+        ``checkpoint_every`` inner iterations; a matching checkpoint at
+        this path is resumed from (and the remaining iterations replay
+        bit-identically).  Removed on convergence.
     """
     import jax
 
@@ -92,6 +145,15 @@ def gmres(
     resid = 1.0
 
     restart = min(cfg.restart, cfg.max_iters, n)
+
+    resume = _load_krylov_ckpt(checkpoint_path, "host", n)
+    if resume is not None:
+        x = jnp.asarray(resume["x"])
+        total_it = int(resume["total_it"])
+
+    def _ckpt_done():
+        if checkpoint_path is not None and os.path.exists(checkpoint_path):
+            os.unlink(checkpoint_path)
 
     # One fused device op per Arnoldi step: all modified-Gram-Schmidt
     # projections against the stored basis matrix at once (a [i, n]
@@ -113,24 +175,41 @@ def gmres(
         return w, coeffs + c2, beta
 
     while total_it < cfg.max_iters:
-        # full-accuracy residual at (re)start (ref GMRES.hpp:175-182)
-        r = b - matvec(x, cfg.max_p)
-        beta = float(jnp.linalg.norm(r))
-        resid = beta / normb
-        if resid < cfg.residual:
-            return x, SolveInfo(total_it, resid, True, history)
+        if resume is not None:
+            # mid-cycle resume: restore the Arnoldi state (re-padded to
+            # this run's buffer shapes — see _embed)
+            Vbuf = jnp.asarray(resume["V"])
+            Z = (
+                [jnp.asarray(zr) for zr in resume["Z"]] if flexible else []
+            )
+            H = _embed(resume["H"], (restart + 1, restart))
+            cs = _embed(resume["cs"], (restart + 1,))
+            sn = _embed(resume["sn"], (restart + 1,))
+            s = _embed(resume["s"], (restart + 1,))
+            i_start = int(resume["i_next"])
+            resid = float(resume["resid"])
+            resume = None
+        else:
+            # full-accuracy residual at (re)start (ref GMRES.hpp:175-182)
+            r = b - matvec(x, cfg.max_p)
+            beta = float(jnp.linalg.norm(r))
+            resid = beta / normb
+            if resid < cfg.residual:
+                _ckpt_done()
+                return x, SolveInfo(total_it, resid, True, history)
 
-        cap = min(restart + 1, 33)
-        Vbuf = jnp.zeros((cap, n), b.dtype).at[0].set(r / beta)
-        Z = []
-        H = np.zeros((restart + 1, restart))
-        cs = np.zeros(restart + 1)
-        sn = np.zeros(restart + 1)
-        s = np.zeros(restart + 1)
-        s[0] = beta
+            cap = min(restart + 1, 33)
+            Vbuf = jnp.zeros((cap, n), b.dtype).at[0].set(r / beta)
+            Z = []
+            H = np.zeros((restart + 1, restart))
+            cs = np.zeros(restart + 1)
+            sn = np.zeros(restart + 1)
+            s = np.zeros(restart + 1)
+            s[0] = beta
+            i_start = 0
 
-        i = -1
-        for i in range(restart):
+        i = i_start - 1
+        for i in range(i_start, restart):
             if total_it >= cfg.max_iters:
                 break
             if i + 1 >= Vbuf.shape[0]:  # grow the basis by doubling
@@ -164,6 +243,26 @@ def gmres(
             history.append((total_it, resid, p))
             if verbose:
                 print(f"it: {total_it:4d}  res: {resid:.3e}  fmm_req_p: {p}")
+            if checkpoint_path is not None and (
+                total_it % checkpoint_every == 0
+            ):
+                _save_krylov_ckpt(
+                    checkpoint_path,
+                    "host",
+                    n=n,
+                    x=np.asarray(x),
+                    V=np.asarray(Vbuf),
+                    Z=np.stack([np.asarray(z) for z in Z])
+                    if Z
+                    else np.zeros((0, n), np.asarray(b).dtype),
+                    H=H,
+                    cs=cs,
+                    sn=sn,
+                    s=s,
+                    i_next=i + 1,
+                    total_it=total_it,
+                    resid=resid,
+                )
             if resid < cfg.residual:
                 break
 
@@ -180,6 +279,7 @@ def gmres(
                 dx = jnp.asarray(y, b.dtype) @ Vbuf[:m]
                 x = x + M(dx)
         if resid < cfg.residual:
+            _ckpt_done()
             return x, SolveInfo(total_it, resid, True, history)
 
     return x, SolveInfo(total_it, resid, False, history)
@@ -249,6 +349,8 @@ def gmres_device(
     flexible: bool = False,
     verbose: bool = False,
     context: Optional[DeviceGmresContext] = None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 16,
 ):
     """Device-resident restarted GMRES/FGMRES with p-relaxation.
 
@@ -260,6 +362,11 @@ def gmres_device(
     M : pure traceable right preconditioner ``z = M(r)`` (default
         identity).  Host-loop preconditioners (inner solves) need the
         host ``gmres``.
+    checkpoint_path : if set, the Krylov state is pulled to host and
+        saved there at tier exits; ``it_left`` per tier call is capped
+        at ``checkpoint_every`` so a checkpoint lands at least every
+        that many iterations.  A matching checkpoint is resumed from
+        (bit-identical replay).  Removed on convergence.
     """
     import jax
 
@@ -377,27 +484,54 @@ def gmres_device(
     resid = 1.0
     full_operand = operand_for_p(cfg.max_p)
 
-    while total_it < cfg.max_iters:
-        r, beta_dev = ctx.resid_fn(full_operand, x, b)
-        beta = float(beta_dev)
-        resid = beta / normb
-        if resid < cfg.residual:
-            return x, SolveInfo(total_it, resid, True, history)
+    resume = _load_krylov_ckpt(checkpoint_path, "device", n)
+    if resume is not None:
+        x = jnp.asarray(resume["x"])
+        total_it = int(resume["total_it"])
 
-        V = jnp.zeros((restart + 1, n), dt).at[0].set(r / beta)
-        Z = jnp.zeros((restart if flexible else 1, n), dt)
-        H = jnp.zeros((restart + 1, restart), dt)
-        cs = jnp.zeros(restart + 1, dt)
-        sn = jnp.zeros(restart + 1, dt)
-        s = jnp.zeros(restart + 1, dt).at[0].set(beta)
-        i = jnp.asarray(0, jnp.int32)
-        resid_dev = jnp.asarray(resid, dt)
+    def _ckpt_done():
+        if checkpoint_path is not None and os.path.exists(checkpoint_path):
+            os.unlink(checkpoint_path)
+
+    while total_it < cfg.max_iters:
+        if resume is not None:
+            V = jnp.asarray(_embed(resume["V"], (restart + 1, n)))
+            Z = jnp.asarray(
+                _embed(resume["Z"], (restart if flexible else 1, n))
+            )
+            H = jnp.asarray(_embed(resume["H"], (restart + 1, restart)))
+            cs = jnp.asarray(_embed(resume["cs"], (restart + 1,)))
+            sn = jnp.asarray(_embed(resume["sn"], (restart + 1,)))
+            s = jnp.asarray(_embed(resume["s"], (restart + 1,)))
+            i = jnp.asarray(int(resume["i"]), jnp.int32)
+            resid = float(resume["resid"])
+            resid_dev = jnp.asarray(resid, dt)
+            resume = None
+        else:
+            r, beta_dev = ctx.resid_fn(full_operand, x, b)
+            beta = float(beta_dev)
+            resid = beta / normb
+            if resid < cfg.residual:
+                _ckpt_done()
+                return x, SolveInfo(total_it, resid, True, history)
+
+            V = jnp.zeros((restart + 1, n), dt).at[0].set(r / beta)
+            Z = jnp.zeros((restart if flexible else 1, n), dt)
+            H = jnp.zeros((restart + 1, restart), dt)
+            cs = jnp.zeros(restart + 1, dt)
+            sn = jnp.zeros(restart + 1, dt)
+            s = jnp.zeros(restart + 1, dt).at[0].set(beta)
+            i = jnp.asarray(0, jnp.int32)
+            resid_dev = jnp.asarray(resid, dt)
 
         while True:
             p = cfg.schedule_p(resid, p_fixed)
             if p not in ctx.tier_fns:
                 ctx.tier_fns[p] = make_tier(p)
-            it_left = jnp.asarray(cfg.max_iters - total_it, jnp.int32)
+            block = cfg.max_iters - total_it
+            if checkpoint_path is not None:
+                block = min(block, checkpoint_every)
+            it_left = jnp.asarray(block, jnp.int32)
             st = ctx.tier_fns[p](
                 operand_for_p(p), V, Z, H, cs, sn, s, i, resid_dev,
                 it_left, normb_arr,
@@ -422,6 +556,22 @@ def gmres_device(
                 print(
                     f"it: {total_it:4d}  res: {resid:.3e}  fmm_req_p: {p}"
                 )
+            if checkpoint_path is not None and steps:
+                _save_krylov_ckpt(
+                    checkpoint_path,
+                    "device",
+                    n=n,
+                    x=np.asarray(x),
+                    V=np.asarray(V),
+                    Z=np.asarray(Z),
+                    H=np.asarray(H),
+                    cs=np.asarray(cs),
+                    sn=np.asarray(sn),
+                    s=np.asarray(s),
+                    i=i_new_h,
+                    total_it=total_it,
+                    resid=resid,
+                )
             if resid < cfg.residual or int(i) >= restart or \
                     total_it >= cfg.max_iters or steps == 0:
                 break
@@ -433,6 +583,7 @@ def gmres_device(
             r, beta_dev = ctx.resid_fn(full_operand, x, b)
             resid = float(beta_dev) / normb
             if resid < cfg.residual:
+                _ckpt_done()
                 return x, SolveInfo(total_it, resid, True, history)
 
     return x, SolveInfo(total_it, resid, False, history)

@@ -306,3 +306,119 @@ def test_fmgmres_on_stokes_bem_reduces_outer_iterations():
     fx0 = float((t0[:, 0] * fields["area"]).sum())
     fx1 = float((t1[:, 0] * fields["area"]).sum())
     assert abs(fx1 - fx0) / abs(fx0) < 1e-3
+
+
+# ----------------------------------------------------------------------
+# Krylov-state checkpoint / resume (SURVEY.md §5.4; no reference
+# counterpart — subsystem required of the TPU build)
+# ----------------------------------------------------------------------
+import dataclasses as _dc
+import os as _os
+
+
+def _ill_system(seed=30, n=90):
+    rng = np.random.default_rng(seed)
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    A = Q @ np.diag(np.logspace(0, 2, n)) @ Q.T
+    return jnp.asarray(A), rng.standard_normal(n)
+
+
+class _Killed(RuntimeError):
+    """Simulated process death mid-solve."""
+
+
+def test_gmres_host_checkpoint_resume_bit_identical(tmp_path):
+    Aj, b = _ill_system()
+    path = str(tmp_path / "krylov.npz")
+    cfg = SolverConfig(residual=1e-10, max_iters=300, restart=300)
+
+    x_ref, info_ref = gmres(lambda v, p: Aj @ v, b, config=cfg, p_fixed=1,
+                            checkpoint_path=path, checkpoint_every=3)
+    assert info_ref.converged
+    assert not _os.path.exists(path)  # cleaned up on convergence
+    assert info_ref.iterations > 12   # enough room to kill mid-solve
+
+    # "kill" the solve mid-cycle: the matvec dies on its 10th call,
+    # exactly like a pre-empted process — identical config, so the
+    # resumed replay sees identical shapes end to end
+    calls = [0]
+
+    def mv_dying(v, p):
+        calls[0] += 1
+        if calls[0] > 9:
+            raise _Killed()
+        return Aj @ v
+
+    with pytest.raises(_Killed):
+        gmres(mv_dying, b, config=cfg, p_fixed=1,
+              checkpoint_path=path, checkpoint_every=3)
+    assert _os.path.exists(path)
+
+    x_res, info_res = gmres(lambda v, p: Aj @ v, b, config=cfg, p_fixed=1,
+                            checkpoint_path=path, checkpoint_every=3)
+    assert info_res.converged
+    assert info_res.iterations == info_ref.iterations
+    np.testing.assert_array_equal(np.asarray(x_res), np.asarray(x_ref))
+
+
+def test_gmres_host_checkpoint_resume_across_restart_cycles(tmp_path):
+    Aj, b = _ill_system(seed=31)
+    path = str(tmp_path / "krylov.npz")
+    cfg = SolverConfig(residual=1e-9, max_iters=300, restart=12)
+
+    x_ref, info_ref = gmres(lambda v, p: Aj @ v, b, config=cfg, p_fixed=1,
+                            checkpoint_path=path, checkpoint_every=4)
+    assert info_ref.converged and info_ref.iterations > 16
+
+    calls = [0]
+
+    def mv_dying(v, p):
+        calls[0] += 1
+        # die in the second restart cycle (restart=12 + residual evals)
+        if calls[0] > 17:
+            raise _Killed()
+        return Aj @ v
+
+    with pytest.raises(_Killed):
+        gmres(mv_dying, b, config=cfg, p_fixed=1,
+              checkpoint_path=path, checkpoint_every=4)
+    assert _os.path.exists(path)
+    x_res, info_res = gmres(lambda v, p: Aj @ v, b, config=cfg, p_fixed=1,
+                            checkpoint_path=path, checkpoint_every=4)
+    assert info_res.iterations == info_ref.iterations
+    np.testing.assert_array_equal(np.asarray(x_res), np.asarray(x_ref))
+
+
+def test_gmres_device_checkpoint_resume_bit_identical(tmp_path):
+    Aj, b = _ill_system(seed=32)
+    mv = lambda op, v, p: Aj @ v
+    path = str(tmp_path / "krylov_dev.npz")
+    cfg = SolverConfig(residual=1e-10, max_iters=300, restart=300)
+
+    x_ref, info_ref = gmres_device(mv, b, config=cfg, p_fixed=1,
+                                   checkpoint_path=path,
+                                   checkpoint_every=4)
+    assert info_ref.converged
+    assert not _os.path.exists(path)
+    assert info_ref.iterations > 12
+
+    # kill at a tier-block boundary via the per-block operand callback
+    calls = [0]
+
+    def op_dying(p):
+        calls[0] += 1
+        if calls[0] > 3:
+            raise _Killed()
+        return None
+
+    with pytest.raises(_Killed):
+        gmres_device(mv, b, config=cfg, p_fixed=1, operand_for_p=op_dying,
+                     checkpoint_path=path, checkpoint_every=4)
+    assert _os.path.exists(path)
+
+    x_res, info_res = gmres_device(mv, b, config=cfg, p_fixed=1,
+                                   checkpoint_path=path,
+                                   checkpoint_every=4)
+    assert info_res.converged
+    assert info_res.iterations == info_ref.iterations
+    np.testing.assert_array_equal(np.asarray(x_res), np.asarray(x_ref))

@@ -51,6 +51,11 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    if getattr(args, "dtype", None) == "float64":
+        # float64 silently truncates to f32 unless x64 is enabled
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
 
     import jax.numpy as jnp
 

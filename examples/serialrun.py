@@ -4,7 +4,7 @@ summation on sampled targets (ref serialrun.cpp:136-208 and
 serialrun_stresslet.cpp; the kernel is a flag instead of a #define).
 
 Usage: python examples/serialrun.py -N 10000 -p 8 -kernel laplace
-       [-kernel laplace|laplace_cartesian|yukawa|stokes|stresslet|unit]
+       [-kernel laplace|laplace_cartesian|yukawa|yukawa_spherical|stokes|stresslet|unit]
 """
 
 import argparse
@@ -29,6 +29,12 @@ def make_kernel(name, kappa):
         from fmm_bem_tpu.kernels.cartesian import YukawaKernel
 
         return YukawaKernel(kappa=kappa)
+    if name == "yukawa_spherical":
+        from fmm_bem_tpu.kernels.spherical_yukawa import (
+            YukawaSphericalKernel,
+        )
+
+        return YukawaSphericalKernel(kappa=kappa)
     if name == "stokes":
         from fmm_bem_tpu.kernels.stokes import StokesKernel
 
@@ -63,6 +69,11 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    if getattr(args, "dtype", None) == "float64":
+        # float64 silently truncates to f32 unless x64 is enabled
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
 
     import jax.numpy as jnp
 

@@ -53,6 +53,11 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    if getattr(args, "dtype", None) == "float64":
+        # float64 silently truncates to f32 unless x64 is enabled
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
 
     from fmm_bem_tpu.bem.panels import make_panels
     from fmm_bem_tpu.bem.triangulation import (

@@ -17,7 +17,7 @@ import subprocess
 import sys
 
 REC = int(os.environ.get("FMM_BENCH_RECURSIONS", "8"))
-TIMEOUT = int(os.environ.get("FMM_BENCH_TIMEOUT", "900"))
+TIMEOUT = int(os.environ.get("FMM_BENCH_TIMEOUT", "1400"))
 
 
 def _run_at(backend, rec):

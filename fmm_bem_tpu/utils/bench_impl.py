@@ -20,6 +20,8 @@ import time
 def run(backend="default", recursions=7, p=5, iters=10, chain=50):
     import jax
 
+    t_start = time.time()
+
     if backend == "cpu":
         jax.config.update("jax_platforms", "cpu")
     # persistent compilation cache: repeat benches / production runs
@@ -91,6 +93,8 @@ def run(backend="default", recursions=7, p=5, iters=10, chain=50):
         out = np.asarray(chained(operand, q))
     dt = max((time.time() - t0) / iters - t_base, 1e-9) / chain
 
+    stage_s = {"chain_done": round(time.time() - t_start, 1)}
+
     # single dispatched matvec (includes host + tunnel overhead)
     qn = np.ones(n, dtype=np.float32)
     np.asarray(plan.apply(qn, p=p))
@@ -98,6 +102,8 @@ def run(backend="default", recursions=7, p=5, iters=10, chain=50):
     for _ in range(iters):
         out1 = np.asarray(plan.apply(qn, p=p))
     dt_single = (time.time() - t0) / iters
+
+    stage_s["dispatched_done"] = round(time.time() - t_start, 1)
 
     # GMRES solve wall-clock (the BASELINE.md secondary metric):
     # second-kind sphere equation (well-conditioned; ref -second_kind
@@ -127,6 +133,8 @@ def run(backend="default", recursions=7, p=5, iters=10, chain=50):
     solve_s = time.time() - t0
     sol_err = float(np.linalg.norm(np.asarray(x) - 1.0) / np.sqrt(n))
 
+    stage_s["solve_done"] = round(time.time() - t_start, 1)
+
     # near-field kernel equivalence ON THIS BACKEND (the Pallas panel
     # contraction vs the reference einsum on identical device arrays) —
     # the numerical guard the CPU-only test suite cannot provide
@@ -151,12 +159,20 @@ def run(backend="default", recursions=7, p=5, iters=10, chain=50):
     # per-phase device timings + roofline scores (the reference's
     # per-matvec P2P/M2L split, EvalInteractionLazy.hpp:137-152,
     # upgraded with %-of-peak accounting)
+    stage_s["near_equiv_done"] = round(time.time() - t_start, 1)
+
     from fmm_bem_tpu.utils.roofline import phase_breakdown
 
-    phases = {
-        k: {kk: round(float(vv), 3) for kk, vv in v.items()}
-        for k, v in phase_breakdown(plan, p, chain=20, iters=3).items()
-    }
+    # the phase split costs ~6 extra jit compiles; on a slow tunnel at
+    # large N that can push the whole run past the driver's subprocess
+    # timeout — skip it rather than lose the headline measurement
+    if time.time() - t_start < 1000:
+        phases = {
+            k: {kk: round(float(vv), 3) for kk, vv in v.items()}
+            for k, v in phase_breakdown(plan, p, chain=16, iters=2).items()
+        }
+    else:
+        phases = {"skipped_elapsed_s": round(time.time() - t_start, 1)}
 
     value = (float(n) * float(n)) / dt
     return {
@@ -172,6 +188,7 @@ def run(backend="default", recursions=7, p=5, iters=10, chain=50):
         "solve_converged": bool(info.converged),
         "solution_err": sol_err,
         "near_equiv_err": near_equiv,
+        "stage_s": stage_s,
         "phases": phases,
         "value": value,
     }

@@ -177,12 +177,19 @@ def phase_breakdown(plan, p, q=None, chain=20, iters=3):
     names = ["p2m", "m2m", "m2l", "l2l", "l2p", "near"][:nph]
     model = _flop_byte_model(plan, p)
     peaks = chip_peaks()
+    # prefix-difference timings are noisy for sub-resolution phases: a
+    # later prefix can even measure *faster* than a shorter one.  Flag
+    # anything below the timer floor instead of reporting absurd rates.
+    floor = 50e-6  # 50 us per chained step
     out = {}
     prev = 0.0
     for k, name in enumerate(names):
-        dt_k = max(times[k] - prev, 1e-9)
+        dt_k = times[k] - prev
         prev = times[k]
         flops, bytes_ = model.get(name, (0.0, 0.0))
+        if dt_k < floor:
+            out[name] = {"ms": round(dt_k * 1e3, 4), "below_timer_floor": True}
+            continue
         r = {
             "ms": dt_k * 1e3,
             "gflops": flops / dt_k / 1e9,

@@ -214,38 +214,6 @@ class YukawaSphericalKernel:
     def width(self, p):
         return hm.real_width(p)
 
-    # ----- radial helpers -----
-    def _s_n(self, x, p):
-        """s_n(x) with i_n = x^n s_n/(2n+1)!!, numpy [.., p]."""
-        c = _series_coeffs(p)
-        x = np.asarray(x, np.float64)
-        x2 = x * x
-        out = []
-        for n in range(p):
-            s = np.zeros_like(x)
-            for k in range(c.shape[1] - 1, -1, -1):
-                s = s * x2 + c[n, k]
-            out.append(s)
-        return np.stack(out, axis=-1)
-
-    def _g_poly(self, sigma, p):
-        """Per-degree coefficients of g_n(t) = s_n(kappa sigma t) /
-        s_n(kappa sigma) as a polynomial in t^2 (host constants for the
-        device ops): returns [p, K] float64."""
-        x = self.kappa * float(sigma)
-        c = _series_coeffs(p)  # [p, K]
-        denom = self._s_n(np.asarray(x), p)  # [p]
-        pow2k = x ** (2 * np.arange(c.shape[1]))
-        return c * pow2k[None, :] / denom[:, None]
-
-    def _g_eval(self, gc, t2):
-        """g_n(t) for all degrees: Horner in t^2.  gc [p, K] host
-        constants; t2 scalar traced; returns [p]."""
-        out = jnp.zeros((gc.shape[0],), t2.dtype)
-        for k in range(gc.shape[1] - 1, -1, -1):
-            out = out * t2 + jnp.asarray(gc[:, k], t2.dtype)
-        return out
-
     # ----- basis fields (host, float64) -----
     def _out_basis(self, pts, sigma, p):
         """Outgoing (singular) real basis at physical points rel box

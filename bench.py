@@ -3,24 +3,45 @@
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Metric: effective interactions/s of the Laplace-BEM-sphere FMM matvec
-(the BASELINE.md north star).  Each backend attempt runs in a
-subprocess with a timeout so a wedged accelerator tunnel degrades to a
-CPU measurement instead of hanging the driver.  vs_baseline is the
-accelerator-vs-host-CPU throughput ratio on the identical workload
-(the reference publishes no absolute numbers to compare against —
-BASELINE.json "published": {}).
+(the BASELINE.md north star).  vs_baseline is the accelerator-vs-host-CPU
+throughput ratio on the identical workload (the reference publishes no
+absolute numbers to compare against — BASELINE.json "published": {}).
+
+Budgeting: a HARD global deadline (FMM_BENCH_DEADLINE, default 1100 s)
+bounds the whole run.  The accelerator attempt runs FIRST and its JSON
+is stashed to results/ the moment it lands; the CPU baseline is reused
+from results/bench_cpu_cache.json when present (it is workload-pinned
+and changes only when the bench workload does), so a tight deadline
+never costs the headline TPU measurement.  Each attempt runs in a
+subprocess with the REMAINING budget as its timeout and is told that
+budget (FMM_BENCH_BUDGET_S) so it can skip optional stages instead of
+being killed.
 """
 
 import json
 import os
 import subprocess
 import sys
+import time
 
 REC = int(os.environ.get("FMM_BENCH_RECURSIONS", "8"))
-TIMEOUT = int(os.environ.get("FMM_BENCH_TIMEOUT", "1400"))
+DEADLINE = float(os.environ.get("FMM_BENCH_DEADLINE", "1100"))
+_HERE = os.path.dirname(os.path.abspath(__file__))
+CPU_CACHE = os.path.join(_HERE, "results", "bench_cpu_cache.json")
+LAST_OUT = os.path.join(_HERE, "results", "bench_last.json")
+
+_T0 = time.time()
 
 
-def _run_at(backend, rec):
+def _remaining():
+    return DEADLINE - (time.time() - _T0)
+
+
+def _run_at(backend, rec, timeout):
+    if timeout < 60:
+        return None
+    env = dict(os.environ)
+    env["FMM_BENCH_BUDGET_S"] = str(int(timeout))
     try:
         out = subprocess.run(
             [
@@ -32,8 +53,9 @@ def _run_at(backend, rec):
             ],
             capture_output=True,
             text=True,
-            timeout=TIMEOUT,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
+            timeout=timeout,
+            cwd=_HERE,
+            env=env,
         )
         for line in reversed(out.stdout.strip().splitlines()):
             line = line.strip()
@@ -44,23 +66,48 @@ def _run_at(backend, rec):
     return None
 
 
-def _run(backend):
-    # shrink the problem if the full size exceeds the per-run timeout
-    for rec in (REC, REC - 1):
-        r = _run_at(backend, rec)
-        if r is not None:
+def _stash(obj, path):
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(obj, f, indent=1)
+    except Exception:
+        pass
+
+
+def _cached_cpu(rec):
+    try:
+        with open(CPU_CACHE) as f:
+            r = json.load(f)
+        if r.get("recursions") == rec and r.get("value", 0) > 0:
             return r
+    except Exception:
+        pass
     return None
 
 
 def main():
-    accel = _run("default")
+    # accelerator first — the headline number.  Reserve ~90 s of the
+    # deadline for a (possible) live CPU run + emit; shrink to REC-1
+    # after one failure rather than retrying the full size.
+    accel = _run_at("default", REC, min(_remaining() - 90, 850))
+    rec_used = REC
+    if accel is None:
+        rec_used = REC - 1
+        accel = _run_at("default", rec_used, min(_remaining() - 60, 600))
+    if accel is not None:
+        _stash(accel, LAST_OUT)
+
     if accel is not None and accel.get("backend") == "cpu":
-        # no accelerator present; accel run == cpu run
-        cpu = accel
+        cpu = accel  # no accelerator present; accel run == cpu run
         accel = None
     else:
-        cpu = _run("cpu")
+        cpu = _cached_cpu(rec_used)
+        if cpu is None and _remaining() > 120:
+            cpu = _run_at("cpu", rec_used, _remaining() - 20)
+            if cpu is not None:
+                cpu["recursions"] = rec_used
+                _stash(cpu, CPU_CACHE)
 
     if accel is not None:
         value = accel["value"]
@@ -84,18 +131,16 @@ def main():
         )
         return
 
-    print(
-        json.dumps(
-            {
-                "metric": "laplace_bem_fmm_matvec_interactions_per_s",
-                "value": value,
-                "unit": "pairs/s",
-                "vs_baseline": vs,
-                "backend": backend,
-                "detail": {"accel": accel, "cpu": cpu},
-            }
-        )
-    )
+    result = {
+        "metric": "laplace_bem_fmm_matvec_interactions_per_s",
+        "value": value,
+        "unit": "pairs/s",
+        "vs_baseline": vs,
+        "backend": backend,
+        "detail": {"accel": accel, "cpu": cpu},
+    }
+    _stash(result, LAST_OUT)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

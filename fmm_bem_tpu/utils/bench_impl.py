@@ -21,6 +21,15 @@ def run(backend="default", recursions=7, p=5, iters=10, chain=50):
     import jax
 
     t_start = time.time()
+    # the caller (bench.py) passes its remaining wall-clock budget so
+    # optional stages degrade gracefully instead of the subprocess
+    # being killed with everything lost
+    import os
+
+    budget = float(os.environ.get("FMM_BENCH_BUDGET_S", "1e9"))
+
+    def elapsed():
+        return time.time() - t_start
 
     if backend == "cpu":
         jax.config.update("jax_platforms", "cpu")
@@ -97,11 +106,13 @@ def run(backend="default", recursions=7, p=5, iters=10, chain=50):
 
     # single dispatched matvec (includes host + tunnel overhead)
     qn = np.ones(n, dtype=np.float32)
-    np.asarray(plan.apply(qn, p=p))
-    t0 = time.time()
-    for _ in range(iters):
-        out1 = np.asarray(plan.apply(qn, p=p))
-    dt_single = (time.time() - t0) / iters
+    dt_single = None
+    if elapsed() < budget - 240:
+        np.asarray(plan.apply(qn, p=p))
+        t0 = time.time()
+        for _ in range(iters):
+            out1 = np.asarray(plan.apply(qn, p=p))
+        dt_single = (time.time() - t0) / iters
 
     stage_s["dispatched_done"] = round(time.time() - t_start, 1)
 
@@ -113,25 +124,30 @@ def run(backend="default", recursions=7, p=5, iters=10, chain=50):
     from fmm_bem_tpu.config import SolverConfig
     from fmm_bem_tpu.solver.gmres import DeviceGmresContext, gmres_device
 
-    b = np.asarray(plan.apply(qn, p=p)[:, 0])
-    mvf, op4pf = plan.solver_ops(flipped=True)
-    # the reference's default residual tolerance (SolverOptions.hpp:23);
-    # achievable in f32 on TPU since the framework forces true-f32
-    # matmul precision (see fmm_bem_tpu/__init__.py) — and the device
-    # solver verifies the TRUE residual after back-substitution, unlike
-    # the reference which trusts the Givens recurrence
-    cfg = SolverConfig(residual=1e-5, max_p=p, max_iters=60, restart=60)
-    ctx = DeviceGmresContext()
-    # compile pass (tier executable + finish), then timed solve
-    x, info = gmres_device(
-        mvf, b, operand_for_p=op4pf, config=cfg, p_fixed=p, context=ctx
-    )
-    t0 = time.time()
-    x, info = gmres_device(
-        mvf, b, operand_for_p=op4pf, config=cfg, p_fixed=p, context=ctx
-    )
-    solve_s = time.time() - t0
-    sol_err = float(np.linalg.norm(np.asarray(x) - 1.0) / np.sqrt(n))
+    solve_s = None
+    sol_err = None
+    info = None
+    if elapsed() < budget - 150:
+        b = np.asarray(plan.apply(qn, p=p)[:, 0])
+        mvf, op4pf = plan.solver_ops(flipped=True)
+        # the reference's default residual tolerance
+        # (SolverOptions.hpp:23); achievable in f32 on TPU since the
+        # framework forces true-f32 matmul precision (see
+        # fmm_bem_tpu/__init__.py) — and the device solver verifies the
+        # TRUE residual after back-substitution, unlike the reference
+        # which trusts the Givens recurrence
+        cfg = SolverConfig(residual=1e-5, max_p=p, max_iters=60, restart=60)
+        ctx = DeviceGmresContext()
+        # compile pass (tier executable + finish), then timed solve
+        x, info = gmres_device(
+            mvf, b, operand_for_p=op4pf, config=cfg, p_fixed=p, context=ctx
+        )
+        t0 = time.time()
+        x, info = gmres_device(
+            mvf, b, operand_for_p=op4pf, config=cfg, p_fixed=p, context=ctx
+        )
+        solve_s = time.time() - t0
+        sol_err = float(np.linalg.norm(np.asarray(x) - 1.0) / np.sqrt(n))
 
     stage_s["solve_done"] = round(time.time() - t_start, 1)
 
@@ -140,21 +156,26 @@ def run(backend="default", recursions=7, p=5, iters=10, chain=50):
     # the numerical guard the CPU-only test suite cannot provide
     from fmm_bem_tpu.ops.near_panel import panel_matvec
 
-    d = plan.device_data(p)
-    aux = plan.variant_aux(p)
-    qm = jnp.asarray(qn)[d["s_perm"]]
-    ql = jnp.where(
-        d["s_leaf_body_mask"], qm[d["s_leaf_body_idx"]], 0.0
-    )
-    o_pal = np.asarray(
-        panel_matvec(aux["panels"], plan._near_meta, ql)
-    )
-    o_ein = np.asarray(
-        panel_matvec(aux["panels"], plan._near_meta, ql, use_pallas=False)
-    )
-    near_equiv = float(
-        np.linalg.norm(o_pal - o_ein) / max(np.linalg.norm(o_ein), 1e-30)
-    )
+    near_equiv = None
+    if elapsed() < budget - 120:
+        d = plan.device_data(p)
+        aux = plan.variant_aux(p)
+        qm = jnp.asarray(qn)[d["s_perm"]]
+        ql = jnp.where(
+            d["s_leaf_body_mask"], qm[d["s_leaf_body_idx"]], 0.0
+        )
+        o_pal = np.asarray(
+            panel_matvec(aux["panels"], plan._near_meta, ql)
+        )
+        o_ein = np.asarray(
+            panel_matvec(
+                aux["panels"], plan._near_meta, ql, use_pallas=False
+            )
+        )
+        near_equiv = float(
+            np.linalg.norm(o_pal - o_ein)
+            / max(np.linalg.norm(o_ein), 1e-30)
+        )
 
     # per-phase device timings + roofline scores (the reference's
     # per-matvec P2P/M2L split, EvalInteractionLazy.hpp:137-152,
@@ -166,7 +187,7 @@ def run(backend="default", recursions=7, p=5, iters=10, chain=50):
     # the phase split costs ~6 extra jit compiles; on a slow tunnel at
     # large N that can push the whole run past the driver's subprocess
     # timeout — skip it rather than lose the headline measurement
-    if time.time() - t_start < 1000:
+    if elapsed() < min(budget - 180, 1000):
         phases = {
             k: {kk: round(float(vv), 3) for kk, vv in v.items()}
             for k, v in phase_breakdown(plan, p, chain=16, iters=2).items()
@@ -184,8 +205,8 @@ def run(backend="default", recursions=7, p=5, iters=10, chain=50):
         "build_s": build_s,
         "compile_s": compile_s,
         "solve_s": solve_s,
-        "solve_iters": info.iterations,
-        "solve_converged": bool(info.converged),
+        "solve_iters": None if info is None else info.iterations,
+        "solve_converged": None if info is None else bool(info.converged),
         "solution_err": sol_err,
         "near_equiv_err": near_equiv,
         "stage_s": stage_s,

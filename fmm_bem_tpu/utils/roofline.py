@@ -188,7 +188,12 @@ def phase_breakdown(plan, p, q=None, chain=20, iters=3):
         prev = times[k]
         flops, bytes_ = model.get(name, (0.0, 0.0))
         if dt_k < floor:
-            out[name] = {"ms": round(dt_k * 1e3, 4), "below_timer_floor": True}
+            # prefix-difference noise can drive dt_k negative; clamp so
+            # downstream consumers never see an absurd timing
+            out[name] = {
+                "ms": round(max(dt_k, 0.0) * 1e3, 4),
+                "below_timer_floor": True,
+            }
             continue
         r = {
             "ms": dt_k * 1e3,

@@ -40,6 +40,11 @@ def main():
     ap.add_argument("-inner_iters", type=int, default=10)
     ap.add_argument("-rbc", action="store_true", help="red blood cell geometry")
     ap.add_argument("-cells", type=int, default=1)
+    ap.add_argument("-vert", default=None, help=".vert mesh file")
+    ap.add_argument("-face", default=None, help=".face mesh file")
+    ap.add_argument("-bio", action="store_true",
+                    help="BioMesh conventions (extra .vert columns, "
+                    "v1 v3 v2 face winding)")
     ap.add_argument("-dtype", default="float64")
     ap.add_argument("-out_prefix", default=None,
                     help="write out.face/out.vert/out.charge dumps")
@@ -61,6 +66,7 @@ def main():
 
     from fmm_bem_tpu.bem.panels import make_panels
     from fmm_bem_tpu.bem.triangulation import (
+        load_vert_face,
         multiple_red_blood_cells,
         red_blood_cell,
         save_vert_face,
@@ -71,7 +77,9 @@ def main():
     from fmm_bem_tpu.kernels.stokes_bem import StokesBEMKernel
     from fmm_bem_tpu.solver.gmres import fgmres, gmres
 
-    if args.rbc:
+    if args.vert and args.face:
+        tris = load_vert_face(args.vert, args.face, bio=args.bio)
+    elif args.rbc:
         if args.cells > 1:
             tris = multiple_red_blood_cells(args.cells, args.recursions)
         else:

@@ -124,12 +124,48 @@ def save_vert_face(tris, vert_path, face_path):
             f.write(f"{3*i+1} {3*i+2} {3*i+3}\n")
 
 
-def load_vert_face(vert_path, face_path):
+def _read_table(path, dtype):
+    """Whitespace table reader tolerating an optional single-integer
+    count header (ref VertFaceReader.hpp:33-36 expects one; the plain
+    Triangulation.hpp:124-135 dump has none) and trailing extra columns
+    of non-uniform width."""
+    rows = []
+    ncol = None
+    with open(path) as f:
+        first = True
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            if first and len(parts) == 1:
+                first = False
+                continue  # count header; the row data defines the size
+            first = False
+            if ncol is None:
+                ncol = len(parts)
+            rows.append([dtype(x) for x in parts[: min(ncol, len(parts))]])
+    width = min(len(r) for r in rows) if rows else 0
+    return np.array([r[:width] for r in rows], dtype=dtype)
+
+
+def load_vert_face(vert_path, face_path, bio=False):
     """Read .vert/.face files into a [n, 3, 3] triangulation
-    (ref VertFaceReader.hpp)."""
-    verts = np.loadtxt(vert_path, dtype=np.float64)
-    faces = np.loadtxt(face_path, dtype=np.int64).reshape(-1, 3) - 1
+    (ref VertFaceReader.hpp; ``bio=True`` applies BioMeshReader.hpp's
+    conventions: extra ``.vert`` columns ignored and the face file's
+    columns read as ``v1 v3 v2`` — the middle column is the panel's
+    THIRD vertex, BioMeshReader.hpp:30,40-43)."""
+    verts = _read_table(vert_path, float)[:, :3]
+    faces = _read_table(face_path, int)[:, :3] - 1
+    if bio:
+        faces = faces[:, [0, 2, 1]]
     return verts[faces]
+
+
+def load_bio_mesh(vert_path, face_path):
+    """Biomolecular-mesh reader (ref BioMeshReader.hpp): ``.vert`` rows
+    carry extra columns past x y z, and the ``.face`` winding is
+    ``v1 v3 v2``."""
+    return load_vert_face(vert_path, face_path, bio=True)
 
 
 def load_msh(path):

@@ -8,9 +8,8 @@ Differences from the reference:
 - K=7 maps to the *true* degree-5 seven-point rule (the reference
   aliases K=7 to its 4-point data, GaussQuadrature.hpp:58-59 — a latent
   bug flagged in SURVEY.md).
-- K=79 (the reference's finest table) is generated programmatically as a
-  collapsed-square (Duffy) Gauss-Legendre product rule, which handles
-  any requested order instead of a hand-typed table.
+- Arbitrary K >= 30 beyond the tabulated set are served by a
+  collapsed-square (Duffy) Gauss-Legendre product rule.
 - a 1-D 5-point Gauss-Legendre rule is exposed for the semi-analytical
   edge integrals (ref GaussQuadrature.hpp:14-16 / SemiAnalytical 5-pt).
 """
@@ -94,6 +93,31 @@ _RULES = {
         (0.028327242531057, (0.025003534762686, 0.246672560639903, 0.728323904597411)),
         (0.009421666963733, (0.009540815400299, 0.066803251012200, 0.923655933587500)),
     ],
+    # Dunavant degree-13 79-point rule (1 + 10x3 + 8x6); the
+    # reference's finest table (GaussQuadrature.hpp:188-272).  Some
+    # weights/abscissae are negative/outside [0,1] — characteristic of
+    # the published rule, not typos.
+    79: [
+        (0.033057055541624, (1 / 3,)),
+        (0.000867019185663, (-0.001900928704400, 0.500950464352200)),
+        (0.011660052716448, (0.023574084130543, 0.488212957934729)),
+        (0.022876936356421, (0.089726636099435, 0.455136681950283)),
+        (0.030448982673938, (0.196007481363421, 0.401996259318289)),
+        (0.030624891725355, (0.488214180481157, 0.255892909759421)),
+        (0.024368057676800, (0.647023488009788, 0.176488255995106)),
+        (0.015997432032024, (0.791658289326483, 0.104170855336758)),
+        (0.007698301815602, (0.893862072318140, 0.053068963840930)),
+        (-0.000632060497488, (0.916762569607942, 0.041618715196029)),
+        (0.001751134301193, (0.976836157186356, 0.011581921406822)),
+        (0.016465839189576, (0.048741583664839, 0.344855770229001, 0.606402646106160)),
+        (0.004839033540485, (0.006314115948605, 0.377843269594854, 0.615842614456541)),
+        (0.025804906534650, (0.134316520547348, 0.306635479062357, 0.559048000390295)),
+        (0.008471091054441, (0.013973893962392, 0.249419362774742, 0.736606743262866)),
+        (0.018354914106280, (0.075549132909764, 0.212775724802802, 0.711675142287434)),
+        (0.000704404677908, (-0.008368153208227, 0.146965436053239, 0.861402717154987)),
+        (0.010112684927462, (0.026686063258714, 0.137726978828923, 0.835586957912363)),
+        (0.003573909385950, (0.010547719294141, 0.059696109149007, 0.929756171556853)),
+    ],
 }
 
 
@@ -119,9 +143,11 @@ def get_rule(K: int):
     """(points [K', 3] barycentric, weights [K'] summing to 1).
 
     Supported K: {1, 3, 4, 7, 13, 16, 17, 19, 25, 79} mirroring the
-    reference's set (17 -> the degree-8 16-point rule it actually
-    contains; 79 -> a 9x9=81-point Duffy rule of comparable accuracy),
-    plus any other K >= 30 via the nearest Duffy product rule.
+    reference's set.  K=17 -> the degree-8 16-point Dunavant rule: the
+    reference's "17-point" table (GaussQuadrature.hpp:86-112) actually
+    lists 1+3+3+3+6 = 16 points, so this mapping is exact, not a
+    substitute.  K=79 -> the true Dunavant degree-13 79-point table.
+    Other K >= 30 fall back to the nearest Duffy product rule.
     """
     if K == 17:
         K = 16

@@ -23,7 +23,7 @@ def _integrate_monomial(pts, wts, i, j):
     return approx, exact
 
 
-DEGREES = {1: 1, 3: 2, 4: 3, 7: 5, 13: 7, 16: 8, 17: 8, 19: 9, 25: 10}
+DEGREES = {1: 1, 3: 2, 4: 3, 7: 5, 13: 7, 16: 8, 17: 8, 19: 9, 25: 10, 79: 13}
 
 
 @pytest.mark.parametrize("K,deg", sorted(DEGREES.items()))

@@ -33,6 +33,9 @@ def main():
     ap.add_argument("-solver_tol", type=float, default=1e-5)
     ap.add_argument("-max_iters", type=int, default=500)
     ap.add_argument("-fixed_p", action="store_true")
+    ap.add_argument("-calibrate", action="store_true",
+                    help="fit eps(p) on this plan and use it for the "
+                    "relaxation schedule instead of the 2^-p model")
     # ref scalar GMRES floors the relaxed order at 1 (GMRES.hpp:195);
     # the Stokes driver floors at SolverOptions::p_min instead
     ap.add_argument("-pmin", type=int, default=1)
@@ -109,6 +112,11 @@ def main():
         p_min=args.pmin,
         variable_p=not args.fixed_p,
     )
+    if args.calibrate and not args.fixed_p:
+        scfg = scfg.calibrated(plan)
+        if scfg.eps_c is not None:
+            print(f"calibrated eps(p) = {scfg.eps_c:.3g} * "
+                  f"{scfg.eps_gamma:.3g}^p")
     solve = fgmres if args.fgmres else gmres
     t0 = time.time()
     x, info = solve(

@@ -33,6 +33,10 @@ def main():
     ap.add_argument("-solver_tol", type=float, default=1e-5)
     ap.add_argument("-max_iters", type=int, default=100)
     ap.add_argument("-fixed_p", action="store_true")
+    ap.add_argument("-calibrate", action="store_true",
+                    help="measure the matvec truncation-error decay on "
+                    "this plan and drive the relaxation schedule with "
+                    "the fitted eps(p) model instead of 2^-p")
     ap.add_argument("-fgmres", action="store_true")
     # inner-outer FMGMRES: inner relaxed GMRES on the same plan as the
     # right preconditioner (ref examples/BEM/fmgmres.hpp)
@@ -114,6 +118,15 @@ def main():
         p_min=args.pmin,
         variable_p=not args.fixed_p,
     )
+    if args.calibrate and not args.fixed_p:
+        t0 = time.time()
+        scfg = scfg.calibrated(plan)
+        print(
+            f"calibrated eps(p) = {scfg.eps_c:.3g} * "
+            f"{scfg.eps_gamma:.3g}^p in {time.time()-t0:.1f}s"
+            if scfg.eps_c is not None
+            else "calibration: truncation below noise; 2^-p model kept"
+        )
     def matvec(x, p):
         return plan.apply(x.reshape(n, 3), p=p).reshape(-1)
 

@@ -108,27 +108,54 @@ class SolverConfig:
     p_min: int = 5
     variable_p: bool = True
     relax_type: RelaxType = RelaxType.BOURAS
+    #: calibrated matvec-error model eps(p) = eps_c * eps_gamma**p.
+    #: The reference hardcodes eps ~ 2^-p — its own TODO flags this as
+    #: Laplace-sphere-specific ("predict p for Spherical Laplace kernel
+    #: -- abstract out", SolverOptions.hpp:32).  FmmPlan.calibrate_eps
+    #: measures the actual per-kernel/per-geometry decay and
+    #: ``calibrated()`` installs it here; None keeps the 2^-p default.
+    eps_c: Optional[float] = None
+    eps_gamma: Optional[float] = None
+
+    def _p_for_nu(self, nu: float) -> int:
+        """Smallest order whose matvec error model is below ``nu``."""
+        if nu <= 0.0:
+            return self.max_p
+        if self.eps_c is not None and self.eps_gamma is not None:
+            if nu >= self.eps_c:
+                return 1
+            # eps_c * gamma^p <= nu  (0 < gamma < 1)
+            p = math.ceil(
+                math.log(nu / self.eps_c) / math.log(self.eps_gamma)
+            )
+            return min(max(int(p), 1), self.max_p)
+        if nu >= 1.0:
+            return 1
+        return min(int(math.ceil(-math.log2(nu))), self.max_p)
 
     def predict_p(self, eps: float) -> int:
         """Multipole order needed for an inexact matvec at residual ``eps``.
 
-        Bouras-Fraysse: nu = min(alpha * tol, 1), alpha = 1 / min(eps, 1),
-        p = min(ceil(-log2 nu), max_p).  Simoncini: p = min(ceil(-log2 eps),
-        max_p).  Ref: examples/BEM/SolverOptions.hpp:25-38 (the 2^-p error
-        model for the spherical Laplace kernel).
+        Bouras-Fraysse: nu = min(alpha * tol, 1), alpha = 1 / min(eps, 1).
+        Simoncini: nu = eps.  The order is the smallest p whose error
+        model eps(p) is below nu — eps(p) = 2^-p by default (the
+        reference's model, SolverOptions.hpp:25-38) or the calibrated
+        ``eps_c * eps_gamma**p`` when installed.
         """
         if self.relax_type is RelaxType.BOURAS:
             alpha = 1.0 / min(eps, 1.0)
             nu = min(alpha * self.residual, 1.0)
-            if nu <= 0.0:
-                return self.max_p
-            return min(int(math.ceil(-math.log2(nu))) if nu < 1.0 else 1, self.max_p)
         else:
-            if eps <= 0.0:
-                return self.max_p
-            return min(
-                int(math.ceil(-math.log2(eps))) if eps < 1.0 else 1, self.max_p
-            )
+            nu = min(eps, 1.0) if eps > 0.0 else 0.0
+        return self._p_for_nu(nu)
+
+    def calibrated(self, plan, q=None, ps=None) -> "SolverConfig":
+        """Copy of this config with the eps(p) model measured on ``plan``
+        (FmmPlan.calibrate_eps).  If truncation is indistinguishable on
+        the plan (calibrate_eps returns (None, None)) the 2^-p default
+        is kept."""
+        c, gamma = plan.calibrate_eps(q=q, ps=ps)
+        return dataclasses.replace(self, eps_c=c, eps_gamma=gamma)
 
     def schedule_p(self, resid: float, p_fixed: Optional[int] = None) -> int:
         """The per-iteration order: fixed, or relaxed from the residual.

@@ -1259,6 +1259,65 @@ class FmmPlan:
 
         return matvec, operand_for_p
 
+    def calibrate_eps(self, q=None, ps=None, seed=0):
+        """Measure the matvec truncation-error decay eps(p) and fit
+        ``eps(p) = c * gamma**p``.
+
+        The reference hardcodes eps ~ 2^-p into its relaxation schedule
+        and flags it as Laplace-sphere-specific (SolverOptions.hpp:32
+        "predict p for Spherical Laplace kernel -- abstract out").
+        Here the model is calibrated per plan: matvecs at a few sample
+        orders are compared against the max_p matvec on a random
+        probe charge, and the fitted (c, gamma) drive
+        SolverConfig.predict_p via ``SolverConfig.calibrated``.
+
+        Returns (c, gamma); the raw samples land in ``self.eps_samples``.
+        """
+        pmax = self.config.max_p
+        if ps is None:
+            lo = max(1, pmax // 4)
+            mid = max(lo + 1, pmax // 2)
+            hi = max(mid + 1, pmax - 1)
+            ps = sorted({lo, mid, hi})
+        ps = [p for p in ps if p < pmax]
+        cdim = getattr(self.kernel, "charge_dim", 1)
+        n = self.src.tree.num_bodies
+        if q is None:
+            rng = np.random.default_rng(seed)
+            shape = (n,) if cdim == 1 else (n, cdim)
+            q = rng.choice([-1.0, 1.0], size=shape)
+        ref = np.asarray(self.apply(q, p=pmax))
+        rnorm = float(np.linalg.norm(ref))
+        eps = {}
+        for p in ps:
+            out = np.asarray(self.apply(q, p=p))
+            eps[p] = float(np.linalg.norm(out - ref)) / max(rnorm, 1e-300)
+        self.eps_samples = eps
+        # least-squares fit of log eps = log c + p log gamma, using only
+        # samples above the noise floor of the arithmetic in use
+        floor = 50 * np.finfo(np.dtype(self.config.dtype)).eps
+        pts = [(p, e) for p, e in eps.items() if e > floor]
+        if len(pts) >= 2:
+            parr = np.array([p for p, _ in pts], dtype=np.float64)
+            larr = np.log(np.array([e for _, e in pts]))
+            slope, icept = np.polyfit(parr, larr, 1)
+            gamma = float(np.exp(slope))
+            c = float(np.exp(icept))
+        elif len(pts) == 1:
+            p0, e0 = pts[0]
+            gamma = 0.5
+            c = e0 / gamma**p0
+        else:
+            # truncation indistinguishable from max_p on this plan
+            # (e.g. a near-field-dominated small tree): no model —
+            # SolverConfig keeps the reference's 2^-p default
+            return None, None
+        # clamp to a sane contraction so the schedule stays monotone and
+        # can always reach max_p
+        gamma = min(max(gamma, 1e-4), 0.95)
+        c = min(max(c, 1e-12), 1e3)
+        return c, gamma
+
     def _flipped_fields(self):
         """Host field dicts with every panel's BC flag flipped (the
         reference's switch_BC trick) — cached so the derived device

@@ -146,6 +146,16 @@ def gmres(
 
     restart = min(cfg.restart, cfg.max_iters, n)
 
+    # relaxation stall guard: inexact matvecs at an over-optimistic
+    # order can plateau the Givens residual (observed on anisotropic
+    # RBC geometry, results/RBC.md) — when the last STALL_WIN
+    # iterations improved the residual by less than 2x, raise the
+    # scheduled order.  The boost is sticky within the solve.
+    relaxed = p_fixed is None and cfg.variable_p
+    p_boost = 0
+    STALL_WIN, STALL_FACTOR = 4, 0.5
+    r_hist = []
+
     resume = _load_krylov_ckpt(checkpoint_path, "host", n)
     if resume is not None:
         x = jnp.asarray(resume["x"])
@@ -219,6 +229,8 @@ def gmres(
                 )
             # ---- relaxation: predict p from current residual
             p = cfg.schedule_p(resid, p_fixed)
+            if relaxed:
+                p = min(p + p_boost, cfg.max_p)
             z = M(Vbuf[i])
             if flexible:
                 Z.append(z)
@@ -241,6 +253,15 @@ def gmres(
             resid = abs(s[i + 1]) / normb
             total_it += 1
             history.append((total_it, resid, p))
+            if relaxed and resid >= cfg.residual:
+                r_hist.append(resid)
+                if (
+                    len(r_hist) > STALL_WIN
+                    and resid > STALL_FACTOR * r_hist[-1 - STALL_WIN]
+                    and p < cfg.max_p
+                ):
+                    p_boost += 2
+                    r_hist.clear()
             if verbose:
                 print(f"it: {total_it:4d}  res: {resid:.3e}  fmm_req_p: {p}")
             if checkpoint_path is not None and (
@@ -324,14 +345,24 @@ class DeviceGmresContext:
 
 
 def _device_predict_p(resid, cfg):
-    """jnp replica of SolverConfig.predict_p (SolverOptions.hpp:25-38)."""
+    """jnp replica of SolverConfig.predict_p (SolverOptions.hpp:25-38),
+    including the calibrated eps(p) = c * gamma**p model when set."""
+    import math
+
     eps = jnp.minimum(resid, 1.0)
     if cfg.relax_type is RelaxType.BOURAS:
         nu = jnp.minimum(cfg.residual / eps, 1.0)
     else:
         nu = eps
-    raw = jnp.ceil(-jnp.log2(jnp.maximum(nu, 1e-300)))
-    p = jnp.where(nu >= 1.0, 1.0, raw)
+    nu = jnp.maximum(nu, 1e-300)
+    if cfg.eps_c is not None and cfg.eps_gamma is not None:
+        raw = jnp.ceil(
+            jnp.log(nu / cfg.eps_c) / math.log(cfg.eps_gamma)
+        )
+        p = jnp.where(nu >= cfg.eps_c, 1.0, raw)
+    else:
+        raw = jnp.ceil(-jnp.log2(nu))
+        p = jnp.where(nu >= 1.0, 1.0, raw)
     # floor at p_min to mirror SolverConfig.schedule_p (the reference's
     # Stokes relaxation floor, GMRES_Stokes.hpp:229) — the tier-exit
     # condition must agree with the host schedule or a tier could spin
@@ -383,18 +414,27 @@ def gmres_device(
 
     restart = int(min(cfg.restart, cfg.max_iters, n))
     relaxed = p_fixed is None and cfg.variable_p
+    # stall guard (see host gmres): raise the order when a whole tier
+    # block improves the residual by less than 2x
+    p_boost = 0
+    STALL_WIN, STALL_FACTOR = 4, 0.5
     tiny = jnp.asarray(np.finfo(np.dtype(dt)).tiny * 1e3, dt)
 
     def make_tier(p):
         stop_tol = cfg.residual
 
-        def tier(operand, V, Z, H, cs, sn, s, i, resid, it_left, normb):
+        def tier(
+            operand, V, Z, H, cs, sn, s, i, resid, it_left, normb, boost
+        ):
             def cond(st):
                 (V, Z, H, cs, sn, s, i, resid, it_left) = st
                 ok = (i < restart) & (it_left > 0) & (resid >= stop_tol)
                 if relaxed:
-                    # leave when the schedule wants a smaller order
-                    ok = ok & (_device_predict_p(resid, cfg) >= p)
+                    # leave when the schedule (plus any stall boost)
+                    # wants a smaller order
+                    ok = ok & (
+                        _device_predict_p(resid, cfg) + boost >= p
+                    )
                 return ok
 
             def body(st):
@@ -526,15 +566,22 @@ def gmres_device(
 
         while True:
             p = cfg.schedule_p(resid, p_fixed)
+            if relaxed:
+                p = min(p + p_boost, cfg.max_p)
             if p not in ctx.tier_fns:
                 ctx.tier_fns[p] = make_tier(p)
             block = cfg.max_iters - total_it
             if checkpoint_path is not None:
                 block = min(block, checkpoint_every)
+            if relaxed:
+                # bound tier length so a plateauing tier returns to the
+                # host, where the stall guard can raise the order
+                block = min(block, 2 * STALL_WIN)
             it_left = jnp.asarray(block, jnp.int32)
+            resid_entry = resid
             st = ctx.tier_fns[p](
                 operand_for_p(p), V, Z, H, cs, sn, s, i, resid_dev,
-                it_left, normb_arr,
+                it_left, normb_arr, jnp.asarray(p_boost, jnp.int32),
             )
             (V, Z, H, cs, sn, s, i_new, resid_dev, _) = st
             i_new_h = int(i_new)
@@ -552,6 +599,14 @@ def gmres_device(
             total_it += steps
             resid = float(resid_dev)
             i = i_new
+            if (
+                relaxed
+                and steps >= STALL_WIN
+                and resid >= cfg.residual
+                and resid > STALL_FACTOR * resid_entry
+                and p < cfg.max_p
+            ):
+                p_boost += 2
             if verbose and steps:
                 print(
                     f"it: {total_it:4d}  res: {resid:.3e}  fmm_req_p: {p}"

@@ -163,18 +163,27 @@ def _bucket_sum_apply(dev, x):
 
 
 class LetPlan:
-    """Distribute a built FmmPlan over a 1-D device mesh.
+    """Distribute a built FmmPlan over a device mesh.
 
     Parameters
     ----------
     plan : FmmPlan (single-tree).
-    ndev_or_mesh : device count (mesh built from jax.devices()) or a
-        1-D jax.sharding.Mesh.
+    ndev_or_mesh : device count (1-D mesh built from jax.devices()), a
+        1-D jax.sharding.Mesh, or a 2-D Mesh ``(outer, inner)`` for
+        two-level ICI x DCN topologies (SURVEY.md §5.8): the inner axis
+        is an ICI domain (one host's chips), the outer axis crosses
+        hosts over DCN.  Morton ranges are laid out so the flattened
+        device order is (outer-major, inner-minor) — neighbouring
+        ranges share an ICI domain — and the multipole/charge halos are
+        exchanged hierarchically: intra-group exports ride ONLY the
+        inner axis, and the cross-group all_gather carries only the
+        boxes some other group actually imports.
     flipped : distribute the BC-flipped operator variant (the
         reference's switch_BC system matrix).
     """
 
     AXIS = "sp"
+    AXIS_DCN = "dp"
 
     def __init__(self, plan, ndev_or_mesh, flipped=False):
         assert not plan.dual, "LET sharding: single-tree plans only"
@@ -184,7 +193,19 @@ class LetPlan:
         else:
             devs = jax.devices()[: int(ndev_or_mesh)]
             self.mesh = Mesh(np.array(devs), (self.AXIS,))
-        self.ndev = self.mesh.shape[self.AXIS]
+        axes = self.mesh.axis_names
+        if len(axes) == 2:
+            self.AXIS_DCN, self.AXIS = axes
+            self.ndcn = int(self.mesh.shape[self.AXIS_DCN])
+            self.nsp = int(self.mesh.shape[self.AXIS])
+            self.ndev = self.ndcn * self.nsp
+        else:
+            (self.AXIS,) = axes
+            self.ndcn = 1
+            self.nsp = int(self.mesh.shape[self.AXIS])
+            self.ndev = self.nsp
+        #: flattened-device -> outer-group id (outer-major order)
+        self.dev_group = np.arange(self.ndev) // self.nsp
         self.flipped = flipped
         self.dtype = jnp.dtype(plan.config.dtype)
         self._partition()
@@ -339,6 +360,21 @@ class LetPlan:
         self.m_import_pos = _pad_stack(
             imp_pos, nd * self.n_bexp_max, np.int32, min_len=self.n_imp_max
         )
+        if self.ndcn > 1:
+            # two-level mesh: hierarchical multipole halo (intra-group
+            # over the ICI axis; only cross-group boxes over DCN)
+            (
+                self.m_exp_intra,
+                self.m_exp_inter,
+                self.m_import_pos2,
+            ) = self._halo_split(
+                self.import_boxes,
+                self.box_owner,
+                lambda o, ids: g2l[o, ids]
+                if len(ids)
+                else np.zeros(0, np.int32),
+                self.ZERO,
+            )
 
         # M2M / L2L class lists.  local: children owned by d (parent is
         # then owned-by-d or shared).  shared: child and parent shared.
@@ -388,6 +424,74 @@ class LetPlan:
             shr_up.append(sc)
         self.levels_local = loc_up
         self.levels_shared = shr_up
+
+    def _halo_split(self, imports, owner_of_item, row_of, exp_pad_row):
+        """Two-level halo exchange tables (2-D mesh only).
+
+        Splits each owner's export set into items imported only within
+        its outer-mesh group (exchanged by an all_gather over the inner
+        ICI axis — per group, never touching DCN) and items some other
+        group imports (exchanged by one full-mesh all_gather whose DCN
+        hop carries ONLY these).  An item imported on both sides
+        appears in both tables.
+
+        Parameters
+        ----------
+        imports : per-device arrays of global item ids.
+        owner_of_item : [num_items] owner device per global id.
+        row_of : callable ``(owner, ids) -> local row indices``.
+        exp_pad_row : exporter-side pad row (a zero row).
+
+        Returns (exp_intra [nd, ni], exp_inter [nd, ne], imp_pos
+        [nd, n_imp_max]) with positions into
+        ``concat[intra (nsp*ni) | inter (nd*ne) | zero]``.
+        """
+        nd, nsp, grp = self.ndev, self.nsp, self.dev_group
+        intra = [{} for _ in range(nd)]
+        inter = [{} for _ in range(nd)]
+        for d in range(nd):
+            for b in imports[d]:
+                o = int(owner_of_item[int(b)])
+                tab = intra[o] if grp[d] == grp[o] else inter[o]
+                if int(b) not in tab:
+                    tab[int(b)] = len(tab)
+        bi = [np.array(sorted(t), dtype=np.int64) for t in intra]
+        be = [np.array(sorted(t), dtype=np.int64) for t in inter]
+        ni = max(1, max(len(b) for b in bi))
+        ne = max(1, max(len(b) for b in be))
+        exp_intra = _pad_stack(
+            [row_of(o, bi[o]) for o in range(nd)],
+            exp_pad_row, np.int32, min_len=ni,
+        )
+        exp_inter = _pad_stack(
+            [row_of(o, be[o]) for o in range(nd)],
+            exp_pad_row, np.int32, min_len=ne,
+        )
+        pos_intra = {
+            (o, int(b)): (o % nsp) * ni + k
+            for o in range(nd)
+            for k, b in enumerate(bi[o])
+        }
+        pos_inter = {
+            (o, int(b)): nsp * ni + o * ne + k
+            for o in range(nd)
+            for k, b in enumerate(be[o])
+        }
+        zero_pos = nsp * ni + nd * ne
+        imp_pos = []
+        for d in range(nd):
+            rows = []
+            for b in imports[d]:
+                o = int(owner_of_item[int(b)])
+                rows.append(
+                    pos_intra[(o, int(b))]
+                    if grp[d] == grp[o]
+                    else pos_inter[(o, int(b))]
+                )
+            imp_pos.append(np.array(rows, dtype=np.int32))
+        n_imp_max = max(1, max(len(r) for r in imp_pos))
+        imp_pos = _pad_stack(imp_pos, zero_pos, np.int32, min_len=n_imp_max)
+        return exp_intra, exp_inter, imp_pos
 
     def _build_m2l(self):
         plan = self.plan
@@ -575,6 +679,22 @@ class LetPlan:
             np.int32,
             min_len=self.n_limp_max,
         )
+        if self.ndcn > 1:
+            # two-level mesh: hierarchical charge-tile halo
+            leaf_owner_full = np.full(nl, -1, np.int64)
+            leaf_owner_full[:] = leaf_owner
+            (
+                self.q_exp_intra,
+                self.q_exp_inter,
+                self.q_import_pos2,
+            ) = self._halo_split(
+                imp_leaves,
+                leaf_owner_full,
+                lambda o, ids: self._leaf_g2l[o, ids]
+                if len(ids)
+                else np.zeros(0, np.int32),
+                self.nl_max,
+            )
 
         self.pair_dev = pair_dev
         self.use_panels = plan._use_panels
@@ -844,6 +964,13 @@ class LetPlan:
             "q_export_rows": jnp.asarray(self.q_export_rows),
             "q_import_pos": jnp.asarray(self.q_import_pos),
         }
+        if self.ndcn > 1:
+            d["m_exp_intra"] = jnp.asarray(self.m_exp_intra)
+            d["m_exp_inter"] = jnp.asarray(self.m_exp_inter)
+            d["m_import_pos"] = jnp.asarray(self.m_import_pos2)
+            d["q_exp_intra"] = jnp.asarray(self.q_exp_intra)
+            d["q_exp_inter"] = jnp.asarray(self.q_exp_inter)
+            d["q_import_pos"] = jnp.asarray(self.q_import_pos2)
         # body tables (sliced per device)
         if "p2m_tab" in aux:
             tab = np.asarray(aux["p2m_tab"])
@@ -1017,15 +1144,32 @@ class LetPlan:
         ql_own_z = jnp.concatenate(
             [ql_own, jnp.zeros((1, K * cdim), dt)], axis=0
         )
-        exports = ql_own_z[d["q_export_rows"]]
-        gathered = jax.lax.all_gather(exports, AX)  # [nd, nexp, KSc]
-        gathered = jnp.concatenate(
-            [
-                gathered.reshape(-1, K * cdim),
-                jnp.zeros((1, K * cdim), dt),
-            ],
-            axis=0,
-        )
+        if self.ndcn > 1:
+            # hierarchical halo: intra-group tiles ride the ICI axis
+            # only; the cross-group gather carries just the leaves some
+            # other group imports
+            gi = jax.lax.all_gather(ql_own_z[d["q_exp_intra"]], AX)
+            ge = jax.lax.all_gather(
+                ql_own_z[d["q_exp_inter"]], (self.AXIS_DCN, AX)
+            )
+            gathered = jnp.concatenate(
+                [
+                    gi.reshape(-1, K * cdim),
+                    ge.reshape(-1, K * cdim),
+                    jnp.zeros((1, K * cdim), dt),
+                ],
+                axis=0,
+            )
+        else:
+            exports = ql_own_z[d["q_export_rows"]]
+            gathered = jax.lax.all_gather(exports, AX)  # [nd, nexp, KSc]
+            gathered = jnp.concatenate(
+                [
+                    gathered.reshape(-1, K * cdim),
+                    jnp.zeros((1, K * cdim), dt),
+                ],
+                axis=0,
+            )
         imports = gathered[d["q_import_pos"]]
         # charge table [own | import | zero]
         xq = jnp.concatenate(
@@ -1064,8 +1208,9 @@ class LetPlan:
                 M = M.at[pa].add(M[ch] @ d["m2m_mats"][e[2]].T)
 
         # ---- 3./4. shared top: psum + replicated M2M
+        AX_ALL = (self.AXIS_DCN, AX) if self.ndcn > 1 else AX
         if self.n_sh:
-            sh = jax.lax.psum(M[: self.n_sh], AX)
+            sh = jax.lax.psum(M[: self.n_sh], AX_ALL)
             M = M.at[: self.n_sh].set(sh)
             for lvl in range(self.num_levels - 1, 0, -1):
                 for c in range(8):
@@ -1078,9 +1223,23 @@ class LetPlan:
                     M = M.at[pa].add(M[ch] @ d["m2m_mats"][mi].T)
 
         # ---- 5. LET halo: export owned multipoles, import remote ones
-        exp_m = M[d["m_export_rows"]]
-        gm = jax.lax.all_gather(exp_m, AX).reshape(-1, cW)
-        gm = jnp.concatenate([gm, jnp.zeros((1, cW), dt)], axis=0)
+        if self.ndcn > 1:
+            gi = jax.lax.all_gather(M[d["m_exp_intra"]], AX)
+            ge = jax.lax.all_gather(
+                M[d["m_exp_inter"]], (self.AXIS_DCN, AX)
+            )
+            gm = jnp.concatenate(
+                [
+                    gi.reshape(-1, cW),
+                    ge.reshape(-1, cW),
+                    jnp.zeros((1, cW), dt),
+                ],
+                axis=0,
+            )
+        else:
+            exp_m = M[d["m_export_rows"]]
+            gm = jax.lax.all_gather(exp_m, AX).reshape(-1, cW)
+            gm = jnp.concatenate([gm, jnp.zeros((1, cW), dt)], axis=0)
         M = M.at[
             self.n_sh + self.n_own_max :
             self.n_sh + self.n_own_max + self.n_imp_max
@@ -1136,7 +1295,7 @@ class LetPlan:
 
         if self.n_sh:
             # ---- 7. shared-L psum
-            shL = jax.lax.psum(L_red[: self.n_sh], AX)
+            shL = jax.lax.psum(L_red[: self.n_sh], AX_ALL)
             L_red = L_red.at[: self.n_sh].set(shL)
 
         L = jnp.concatenate(
@@ -1295,28 +1454,31 @@ class LetPlan:
             "m2p_rows", "m2p_tslot", "m2p_isig", "m2p_center",
             "p2p_src_col", "p2p_tgt_loc",
             "src_leaf_mask", "body_dnorm", "body_inv_sigma",
+            "m_exp_intra", "m_exp_inter", "q_exp_intra", "q_exp_inter",
         }
         sharded_trees = {
             "m2l_bsum", "panels", "fields", "src_leaf_fields",
             "tgt_leaf_fields",
         }
 
+        # sharded leading axis: over both mesh axes on a 2-D mesh
+        # (flattened device order is outer-major)
+        SH = P((self.AXIS_DCN, AX)) if self.ndcn > 1 else P(AX)
+
         def spec_of(k):
             if k in ("lvl_loc",):
-                return jax.tree_util.tree_map(
-                    lambda a: P(AX), dd[k]
-                )
+                return jax.tree_util.tree_map(lambda a: SH, dd[k])
             if k in ("lvl_sh",):
                 return jax.tree_util.tree_map(lambda a: P(), dd[k])
             if k in sharded_keys:
-                return P(AX)
+                return SH
             if k in sharded_trees:
-                return jax.tree_util.tree_map(lambda a: P(AX), dd[k])
+                return jax.tree_util.tree_map(lambda a: SH, dd[k])
             return jax.tree_util.tree_map(lambda a: P(), dd[k]) \
                 if isinstance(dd[k], (dict, tuple, list)) else P()
 
-        in_specs = ({k: spec_of(k) for k in dd}, P(AX))
-        out_specs = P(AX)
+        in_specs = ({k: spec_of(k) for k in dd}, SH)
+        out_specs = SH
         nb_max = self.nb_max
         cdim = self.cdim
 
@@ -1328,7 +1490,7 @@ class LetPlan:
             # to [ndev*nb_max, rdim] under out_specs
             def squeeze(spec_tree, val_tree):
                 return jax.tree_util.tree_map(
-                    lambda s, v: v[0] if s == P(AX) else v,
+                    lambda s, v: v[0] if s == SH else v,
                     spec_tree,
                     val_tree,
                     is_leaf=lambda x: isinstance(x, P),

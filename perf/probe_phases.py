@@ -217,6 +217,77 @@ def main():
 
     timed("  A stream (jnp.sum bound)", stream, nd, ql, bytes_=A_bytes)
 
+    # =========== near-pass small ops (the full-pass overhead) ==========
+    out_leaf = jax.block_until_ready(
+        jax.jit(
+            lambda nd_, q_: panel_matvec(nd_["panels"], meta, q_)
+        )(nd, ql)
+    )
+    nl_t = len(plan.tgt.leaf_ids)
+    K_t = plan.tgt.leaf_pad
+    nd2 = {"d": d, "out": out_leaf, "inv": panels_dev["inv_order"]}
+
+    timed("  mk_ql (mask+gather)",
+          lambda d_, q_: jnp.where(
+              d_["s_leaf_body_mask"], q_[d_["s_leaf_body_idx"]], 0.0
+          ), d, qm)
+
+    timed("  out[inv_order]",
+          lambda nd_, q_: (nd_["out"] * (1 + q_[0, 0]))[nd_["inv"]],
+          nd2, ql)
+
+    def final_gather(nd_, q_):
+        o = (nd_["out"] * (1 + q_[0, 0]))[nd_["inv"]]
+        return o.reshape(nl_t * K_t, 1)[nd_["d"]["t_body_flat_slot"]]
+
+    timed("  +body_flat_slot gather", final_gather, nd2, ql)
+
+    # =========== p2m decomposition ===========
+    tab = aux["p2m_tab"]
+    pd = {"d": d, "tab": tab}
+    timed("p2m: contrib = q*tab",
+          lambda pd_, q_: q_[:, None] * pd_["tab"], pd, qm,
+          bytes_=2 * int(np.prod(tab.shape)) * 4)
+
+    contrib = jax.block_until_ready(
+        jax.jit(lambda pd_, q_: q_[:, None] * pd_["tab"])(pd, qm)
+    )
+    pd2 = {"d": d, "contrib": contrib}
+
+    def p2m_gather(pd_, q_):
+        ct = (pd_["contrib"] * (1 + q_[0]))[pd_["d"]["s_leaf_body_idx"]]
+        ct = jnp.where(pd_["d"]["s_leaf_body_mask"][..., None], ct, 0.0)
+        return jnp.sum(ct, axis=1)
+
+    timed("p2m: leaf gather+sum", p2m_gather, pd2, qm,
+          bytes_=2 * int(np.prod(tab.shape)) * 4)
+
+    leafsum = jax.block_until_ready(jax.jit(p2m_gather)(pd2, qm))
+    pd3 = {"d": d, "ls": leafsum}
+    timed("p2m: scatter to boxes",
+          lambda pd_, q_: jnp.zeros(
+              (st.num_boxes, cW), jnp.float32
+          ).at[pd_["d"]["s_leaf_ids"]].set(pd_["ls"] * (1 + q_[0])),
+          pd3, qm)
+
+    # =========== device microbenches ===========
+    big = jnp.ones((64, 1024, 1024), jnp.float32)  # 256MB
+    timed("copy 256MB (empirical peak)",
+          lambda b_, q_: b_ * (1.0 + q_[0]), big, qm,
+          bytes_=2 * big.size * 4)
+
+    table = jnp.ones((2048, 1024), jnp.float32)  # 8MB
+    ridx = jnp.asarray(
+        np.random.default_rng(0).integers(0, 2048, 81920), jnp.int32
+    )
+    for wid in (16, 60, 128, 480, 1024):
+        nrow = 81920 * 60 // wid  # constant payload ~20MB
+        gd = {"t": table[:, :wid], "i": ridx[: min(nrow, len(ridx))]}
+        payload = gd["i"].shape[0] * wid * 4
+        timed(f"row gather w={wid} ({payload/1e6:.0f}MB)",
+              lambda gd_, q_: (gd_["t"] * (1 + q_[0]))[gd_["i"]],
+              gd, qm, bytes_=2 * payload)
+
 
 if __name__ == "__main__":
     main()

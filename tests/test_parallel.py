@@ -144,6 +144,85 @@ def test_let_full_solve_matches_single_device():
     assert np.abs(x_let - np.asarray(x_ref)).max() < 1e-5
 
 
+def _mesh2d(ndcn, nsp):
+    from jax.sharding import Mesh
+
+    devs = np.array(jax.devices()[: ndcn * nsp]).reshape(ndcn, nsp)
+    return Mesh(devs, ("dp", "sp"))
+
+
+@pytest.mark.parametrize("shape", [(2, 4), (4, 2)])
+def test_let_two_level_mesh_matches(shape):
+    """2-D (DCN x ICI) mesh: hierarchical halo exchange must reproduce
+    the single-device matvec exactly (SURVEY.md §5.8 two-level LET)."""
+    tris = unit_sphere(4)
+    fields = make_panels(tris, K=3)
+    plan = FmmPlan(
+        LaplaceBEMKernel(K=3), fields,
+        FMMConfig(ncrit=32, dtype="float64", max_p=8),
+    )
+    q = np.random.default_rng(3).standard_normal(len(tris))
+    ref = np.asarray(plan.apply(q, p=8))
+    lp = LetPlan(plan, _mesh2d(*shape))
+    assert lp.ndcn == shape[0] and lp.nsp == shape[1]
+    out = lp.apply(q, p=8)
+    assert np.abs(out - ref).max() < 1e-10
+
+
+def test_let_two_level_flipped_and_point():
+    # flipped BEM variant on (2, 4)
+    tris = unit_sphere(3)
+    fields = make_panels(tris, K=3)
+    plan = FmmPlan(
+        LaplaceBEMKernel(K=3), fields,
+        FMMConfig(ncrit=32, dtype="float64", max_p=8),
+    )
+    q = np.random.default_rng(4).standard_normal(len(tris))
+    ref = np.asarray(plan.apply_flipped_bc(q, p=8))
+    out = LetPlan(plan, _mesh2d(2, 4), flipped=True).apply(q, p=8)
+    assert np.abs(out - ref).max() < 1e-10
+    # point kernel on (2, 4)
+    rng = np.random.default_rng(5)
+    pts = rng.uniform(0, 1, (1536, 3))
+    qp = rng.standard_normal(1536)
+    plan2 = FmmPlan(
+        LaplaceKernel(), {"xyz": pts},
+        FMMConfig(ncrit=32, dtype="float64", max_p=8),
+    )
+    ref2 = np.asarray(plan2.apply(qp, p=6))
+    out2 = LetPlan(plan2, _mesh2d(2, 4)).apply(qp, p=6)
+    assert np.abs(out2 - ref2).max() < 1e-10
+
+
+def test_let_two_level_collectives_per_axis():
+    """Per-axis HLO bound: no collective on EITHER axis of the 2-D mesh
+    may reach the sharded panel-state scale, and the cross-group
+    (DCN) exports must not exceed the intra-group halo volume."""
+    tris = unit_sphere(4)
+    fields = make_panels(tris, K=3)
+    plan = FmmPlan(
+        LaplaceBEMKernel(K=3), fields,
+        FMMConfig(ncrit=32, dtype="float64", max_p=8),
+    )
+    lp = LetPlan(plan, _mesh2d(2, 4))
+    fn, dd = lp.matvec_fn(5)
+    qp = lp.to_padded(np.ones(len(tris)))
+    txt = jax.jit(fn).lower(dd, qp).compile().as_text()
+    import sys as _sys
+
+    _sys.path.insert(0, __file__.rsplit("/", 2)[0] + "/examples")
+    from scaling_multichip import max_collective_bytes_hlo
+
+    panel_bytes = lp.stats()["near_panel_bytes_per_dev"]
+    coll, desc = max_collective_bytes_hlo(txt, 8)
+    assert coll > 0, "expected explicit collectives in the LET matvec"
+    assert coll < panel_bytes, (coll, desc, panel_bytes)
+    # the halo split must actually shrink the DCN payload: inter-group
+    # export tables are no larger than the full export tables
+    assert lp.m_exp_inter.shape[1] <= lp.m_export_rows.shape[1]
+    assert lp.q_exp_inter.shape[1] <= lp.q_export_rows.shape[1]
+
+
 def test_let_no_bulk_collectives():
     """The compiled sharded matvec must not move O(N) panel/tile data:
     every collective operand stays below the halo scale."""

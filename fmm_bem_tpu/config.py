@@ -60,8 +60,11 @@ class FMMConfig:
     #: CPU-based accuracy tests)
     dtype: str = "float32"
     #: pad M2L translation-class segments to multiples of this many pairs
-    #: so each tile is a single dense matmul on the MXU
-    m2l_tile: int = 128
+    #: so each tile is a single dense matmul on the MXU.  32 balances
+    #: per-class padding waste (most classes are small: p50 class size
+    #: ~4 pairs on the 131k-panel sphere) against matmul row occupancy
+    #: (ncomp folds into rows, so a BEM tile is still [64, W])
+    m2l_tile: int = 32
     #: chunk sizes bounding transient memory of gather-heavy ops
     p2p_chunk: int = 1024
     #: evaluate the precomputed near field as bucketed dense leaf

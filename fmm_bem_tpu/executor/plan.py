@@ -52,6 +52,21 @@ def _seg_sum(x, ids, num):
     return jax.ops.segment_sum(x, ids, num_segments=num)
 
 
+def apply_flat_trans(rows, mat, ncomp):
+    """Translate FLAT [n, ncomp*W] expansions by a per-component [W, W]
+    operator: ``rows @ kron(I_ncomp, mat).T`` without the kron.
+
+    The flat layout is component-major, so folding the component axis
+    into rows is a pure reshape and the matmul is [n*ncomp, W] x [W, W]
+    — no structural zeros (the kron'd form wastes (ncomp-1)/ncomp of
+    its FLOPs and matrix bytes; 8x for Stokes BEM)."""
+    W = mat.shape[-1]
+    if ncomp == 1:
+        return rows @ mat.T
+    n = rows.shape[0]
+    return (rows.reshape(n * ncomp, W) @ mat.T).reshape(n, ncomp * W)
+
+
 def chunked_vmap(f, args, chunk):
     """vmap(f) evaluated in fixed-size chunks via lax.map: bounds the
     transient memory of pair-blocked operators (a P2P block batch of
@@ -721,7 +736,12 @@ class FmmPlan:
         for f32), so a [n, ncomp, W] expansion table physically pads
         ncomp->8 and W->128 — a measured ~17x memory inflation that
         made even elementwise ops dominate the matvec.  [n, ncomp*W]
-        pads only the lane dim."""
+        pads only the lane dim.
+
+        NOTE: the hot phases no longer consume the kron'd form — see
+        ``apply_flat_trans`` (same flat layout, ncomp folded into the
+        row axis so the matmul is [n*ncomp, W] x [W, W] with no
+        structural zeros).  Kept for external callers/tests."""
         W = self.kernel.width(p)
         c = self.kernel.ncomp
         m = mats[..., :W, :W]
@@ -748,6 +768,10 @@ class FmmPlan:
                 f"{prefix}body_flat_slot": jnp.asarray(side.body_flat_slot),
                 f"{prefix}leaf_body_idx": jnp.asarray(side.leaf_body_idx),
                 f"{prefix}leaf_body_mask": jnp.asarray(side.leaf_body_mask),
+                # flat [nl*K] mask for the slot-space matvec
+                f"{prefix}slot_mask": jnp.asarray(
+                    side.leaf_body_mask.reshape(-1)
+                ),
             }
 
         d = side_data(self.src, "s_")
@@ -756,13 +780,13 @@ class FmmPlan:
         d.update(
             {
                 "m2m_mats": jnp.asarray(
-                    self._slice_mats_flat(self.src.m2m_mats, p), dt
+                    self._slice_mats(self.src.m2m_mats, p), dt
                 ),
                 "l2l_mats": jnp.asarray(
-                    self._slice_mats_flat(self.tgt.l2l_mats, p), dt
+                    self._slice_mats(self.tgt.l2l_mats, p), dt
                 ),
                 "m2l_mats": jnp.asarray(
-                    self._slice_mats_flat(self.m2l_classes.mats, p), dt
+                    self._slice_mats(self.m2l_classes.mats, p), dt
                 ),
                 "m2l_tile_src": jnp.asarray(self.m2l_tile_src),
                 "m2l_tile_tgt": jnp.asarray(self.m2l_tile_tgt),
@@ -927,6 +951,72 @@ class FmmPlan:
         self._aux_cache = cache
         return aux
 
+    def variant_aux_slots(self, p, src_host=None, tgt_host=None):
+        """variant_aux extended with SLOT-layout tables for the
+        tile-resident matvec: the per-body P2M/L2P tables (or field
+        rows) gathered ONCE into the padded leaf-tile ordering, so the
+        per-iteration matvec does no body-index gathers at all.
+
+        Measured motive (131k-panel TPU probe): the per-matvec
+        charge/result/table gathers between body order and leaf-tile
+        order cost ~5 ms of an 11 ms matvec at ~55 GB/s — more than
+        the entire near-field Pallas kernel.  Slot layout removes them.
+        """
+        sfh = src_host if src_host is not None else self.src.fields
+        tfh = tgt_host if tgt_host is not None else self.tgt.fields
+        bc_s = np.asarray(sfh.get("bc", np.zeros(0)))
+        bc_t = np.asarray(tfh.get("bc", np.zeros(0)))
+        p = min(int(p), self.config.max_p)
+        key = (bc_s.tobytes(), bc_t.tobytes(), p)
+        cache = getattr(self, "_aux_slots_cache", {})
+        if key in cache:
+            return cache[key]
+
+        aux = dict(self.variant_aux(p, src_host, tgt_host))
+        dt = jnp.dtype(self.config.dtype)
+        s_idx = jnp.asarray(self.src.leaf_body_idx.reshape(-1))
+        s_msk = jnp.asarray(self.src.leaf_body_mask.reshape(-1))
+        t_idx = jnp.asarray(self.tgt.leaf_body_idx.reshape(-1))
+        t_msk = jnp.asarray(self.tgt.leaf_body_mask.reshape(-1))
+
+        if "p2m_tab" in aux:
+            tab = aux["p2m_tab"]  # [n, cW] or [cdim, n, cW]
+            tabt = tab[..., s_idx, :]
+            aux["p2m_tab_t"] = jnp.where(s_msk[:, None], tabt, 0.0) \
+                if tab.ndim == 2 else \
+                jnp.where(s_msk[None, :, None], tabt, 0.0)
+        else:
+            sfd = self.device_fields(
+                sfh if src_host is not None else None, "src"
+            )
+            aux["s_fields_t"] = {k: v[s_idx] for k, v in sfd.items()}
+            aux["s_dn_t"] = jnp.asarray(self.src.body_dnorm, dt)[s_idx]
+            aux["s_isig_t"] = jnp.asarray(
+                self.src.body_inv_sigma, dt
+            )[s_idx]
+        if "l2p_tab" in aux:
+            # result-component-major [rdim, nl*K, cW]: keeps the two
+            # TILED trailing dims dense (a trailing rdim=1 axis would
+            # pad to 128 lanes and cripple the einsum)
+            tabt = aux["l2p_tab"][t_idx]  # [nl*K, cW, rdim]
+            tabt = jnp.where(t_msk[:, None, None], tabt, 0.0)
+            aux["l2p_tab_t"] = jnp.transpose(tabt, (2, 0, 1))
+        else:
+            tfd = self.device_fields(
+                tfh if tgt_host is not None else None,
+                "tgt" if self.dual else "src",
+            )
+            aux["t_fields_t"] = {k: v[t_idx] for k, v in tfd.items()}
+            aux["t_dn_t"] = jnp.asarray(self.tgt.body_dnorm, dt)[t_idx]
+            aux["t_isig_t"] = jnp.asarray(
+                self.tgt.body_inv_sigma, dt
+            )[t_idx]
+        cache[key] = aux
+        if len(cache) > 8:
+            cache.pop(next(iter(cache)))
+        self._aux_slots_cache = cache
+        return aux
+
     def _near_pass(self, d, panels, tfields, qm):
         """Near field from the bucketed leaf panels (Pallas on TPU):
         leaf-tiled charges -> one dense row-panel contraction per target
@@ -988,6 +1078,7 @@ class FmmPlan:
         """M2M bottom-up (level-synchronous octant-class matmuls;
         replaces the reference's serial child->parent walk)."""
         st = self.src.tree
+        nc = self.kernel.ncomp
         for lvl in range(st.num_levels - 1, 0, -1):
             per_class = self.src.levels[lvl - 1]
             for c in range(8):
@@ -995,7 +1086,9 @@ class FmmPlan:
                     continue
                 nch, _, mi = per_class[c]
                 ch, pa = d["src_levels"][lvl - 1][c]
-                M = M.at[pa].add(M[ch] @ d["m2m_mats"][mi].T)
+                M = M.at[pa].add(
+                    apply_flat_trans(M[ch], d["m2m_mats"][mi], nc)
+                )
         return M
 
     def _matvec(self, d, sfields, tfields, q, p, aux=None):
@@ -1065,6 +1158,124 @@ class FmmPlan:
         # back to user ordering (inverse-permutation GATHER, not scatter)
         return res_m[d["t_inv_perm"]]
 
+    def _matvec_slots(self, d, aux, sfields, tfields, q_t, p):
+        """Tile-resident matvec: charges and results live in the padded
+        leaf-slot layout (flattened [nl*K] tiles) end to end.
+
+        The body-order matvec (``_matvec``) gathers charges into leaf
+        tiles and scatters results back to body order EVERY iteration —
+        at 131k panels those index moves measured ~5 ms of an 11 ms
+        matvec (random sub-512B-row HBM gathers).  Keeping the Krylov
+        vectors in slot layout makes them one-time solve-entry/exit
+        conversions instead (``solver_ops_slots``):
+
+        - P2M consumes the slot-ordered linear table directly and
+          reduces leaf tiles with a dense reshape-sum;
+        - the near-field panels and P2P/M2P leaf passes are natively
+          tile-shaped (ref EvalInteractionLazySparse.hpp:134-150 role);
+        - L2P broadcasts each leaf's local expansion over its tile
+          (one [nl]-row gather instead of [n]).
+
+        Padded slots stay exactly zero through every phase, so solver
+        dot products and norms need no masking.
+        """
+        kern = self.kernel
+        st, tt = self.src.tree, self.tgt.tree
+        dt = jnp.dtype(self.config.dtype)
+        cdim = getattr(kern, "charge_dim", 1)
+        rdim = kern.result_dim
+        nl_s, K_s = len(self.src.leaf_ids), self.src.leaf_pad
+        nl_t, K_t = len(self.tgt.leaf_ids), self.tgt.leaf_pad
+        cW = kern.ncomp * kern.width(p)
+
+        smask = d["s_slot_mask"]
+        if cdim > 1:
+            q_t = q_t.reshape(nl_s * K_s, cdim)
+            q_t = jnp.where(smask[:, None], q_t, 0.0)
+        else:
+            q_t = jnp.where(smask, q_t.reshape(nl_s * K_s), 0.0)
+
+        # ---- P2M from slot-ordered tables: no body gathers
+        if "p2m_tab_t" in aux:
+            tab = aux["p2m_tab_t"]
+            if cdim == 1:
+                contrib = q_t[:, None] * tab
+            else:
+                contrib = jnp.einsum("nc,cnw->nw", q_t, tab)
+        else:
+            contrib = kern.p2m(
+                aux["s_fields_t"], q_t, aux["s_dn_t"], aux["s_isig_t"], p
+            ).reshape(-1, cW)
+            contrib = jnp.where(smask[:, None], contrib, 0.0)
+        M = (
+            jnp.zeros((st.num_boxes, cW), dt)
+            .at[d["s_leaf_ids"]]
+            .set(contrib.reshape(nl_s, K_s, cW).sum(axis=1))
+        )
+        M = self._phase_m2m(d, M)
+
+        res_t = jnp.zeros((nl_t * K_t, rdim), dt)
+
+        if self.config.local_evaluation or self.config.block_diagonal:
+            if self._use_panels and "panels" in aux:
+                res_t = res_t + self._near_pass_slots(aux["panels"], q_t)
+            elif len(self.p2p_src_slot):
+                res_t = res_t + self._p2p_pass(
+                    d, sfields, tfields, q_t, nl_t, K_t, slots=True
+                )
+            return res_t
+
+        L = self._phase_m2l(d, M, p)
+        if self.config.evaluator == Evaluator.FMM:
+            L = self._phase_l2l(d, L)
+            res_t = res_t + self._l2p_slots(d, aux, L, p)
+        if len(self.m2p_src):
+            res_t = res_t + self._m2p_pass(
+                d, tfields, M, p, nl_t, K_t, dt, slots=True
+            )
+        if self.near_rows is not None and "panels" in aux:
+            res_t = res_t + self._near_pass_slots(aux["panels"], q_t)
+        elif self.near_rows is None and len(self.p2p_src_slot):
+            res_t = res_t + self._p2p_pass(
+                d, sfields, tfields, q_t, nl_t, K_t, slots=True
+            )
+        return res_t
+
+    def _near_pass_slots(self, panels, q_t):
+        """Near field with charges already in leaf-tile layout: the
+        panel contraction's native shape, zero index moves."""
+        from fmm_bem_tpu.ops.near_panel import panel_matvec
+
+        kern = self.kernel
+        cdim = getattr(kern, "charge_dim", 1)
+        nl_s, K_s = len(self.src.leaf_ids), self.src.leaf_pad
+        nl_t, K_t = len(self.tgt.leaf_ids), self.tgt.leaf_pad
+        ql = q_t.reshape(nl_s, K_s * cdim)
+        out_leaf = panel_matvec(panels, self._near_meta, ql)
+        return out_leaf.reshape(nl_t * K_t, kern.result_dim)
+
+    def _l2p_slots(self, d, aux, L, p):
+        """L2P in slot layout: each leaf's local expansion broadcasts
+        over its tile — a [nl]-row gather instead of one per body."""
+        kern = self.kernel
+        nl_t, K_t = len(self.tgt.leaf_ids), self.tgt.leaf_pad
+        W = kern.width(p)
+        cW = kern.ncomp * W
+        Ll = L[d["t_leaf_ids"]]  # [nl, cW]
+        if "l2p_tab_t" in aux:
+            # tab [rdim, nslots, cW]; per-leaf Ll broadcasts over the
+            # tile inside the fused multiply-reduce — one table stream
+            tab = aux["l2p_tab_t"].reshape(-1, nl_t, K_t, cW)
+            out = (tab * Ll[None, :, None, :]).sum(-1)  # [rdim, nl, K]
+            return out.reshape(-1, nl_t * K_t).T
+        Lb = jnp.broadcast_to(
+            Ll[:, None, :], (nl_t, K_t, cW)
+        ).reshape(nl_t * K_t, kern.ncomp, W)
+        out = kern.l2p(
+            aux["t_fields_t"], Lb, aux["t_dn_t"], aux["t_isig_t"], p
+        )
+        return jnp.where(d["t_slot_mask"][:, None], out, 0.0)
+
     def _phase_m2l(self, d, M, p):
         """M2L: ONE batched class matmul over all pair tiles (each tile
         is [TS*ncomp, W] x [W, W] on the MXU), then a scatter-free
@@ -1080,9 +1291,12 @@ class FmmPlan:
         from fmm_bem_tpu.ops.bucket_sum import bucket_sum_apply
 
         TS = self.m2l_tile_size
+        W = kern.width(p)
         ntile = npairs_pad // TS
-        Mg = M[d["m2l_tile_src"]].reshape(ntile, TS, cW)
-        mats = d["m2l_mats"][d["m2l_tile_cls"]]  # [ntile, cW, cW]
+        # fold the component axis into matmul rows (flat layout is
+        # component-major): [TS*ncomp, W] x [W, W] per tile, no kron
+        Mg = M[d["m2l_tile_src"]].reshape(ntile, TS * kern.ncomp, W)
+        mats = d["m2l_mats"][d["m2l_tile_cls"]]  # [ntile, W, W]
         outp = jnp.einsum("tpw,tvw->tpv", Mg, mats).reshape(
             npairs_pad, cW
         )
@@ -1092,6 +1306,7 @@ class FmmPlan:
     def _phase_l2l(self, d, L):
         """L2L top-down (target tree)."""
         tt = self.tgt.tree
+        nc = self.kernel.ncomp
         for lvl in range(1, tt.num_levels):
             per_class = self.tgt.levels[lvl - 1]
             for c in range(8):
@@ -1099,7 +1314,9 @@ class FmmPlan:
                     continue
                 nch, _, mi = per_class[c]
                 ch, pa = d["tgt_levels"][lvl - 1][c]
-                L = L.at[ch].add(L[pa] @ d["l2l_mats"][mi].T)
+                L = L.at[ch].add(
+                    apply_flat_trans(L[pa], d["l2l_mats"][mi], nc)
+                )
         return L
 
     def _phase_l2p(self, d, aux, tfields, L, p):
@@ -1117,7 +1334,7 @@ class FmmPlan:
             p,
         )
 
-    def _m2p_pass(self, d, tfields, M, p, nl, K, dt):
+    def _m2p_pass(self, d, tfields, M, p, nl, K, dt, slots=False):
         kern = self.kernel
         tgt_slots = d["m2p_tgt_slot"]
         src_ids = d["m2p_src"]
@@ -1139,9 +1356,16 @@ class FmmPlan:
             self.config.p2p_chunk,
         )
         seg = _seg_sum(vals, tgt_slots, nl)
-        return seg.reshape(nl * K, -1)[d["t_body_flat_slot"]]
+        out = seg.reshape(nl * K, -1)
+        if slots:
+            # padded slots hold kernel values at dummy bodies — zero them
+            return jnp.where(d["t_slot_mask"][:, None], out, 0.0)
+        return out[d["t_body_flat_slot"]]
 
-    def _p2p_pass(self, d, sfields, tfields, qm, nl, K):
+    def _p2p_pass(self, d, sfields, tfields, qm, nl, K, slots=False):
+        """Direct P2P over leaf pairs.  ``qm`` is the charge vector in
+        Morton body order, or (slots=True) per-source-leaf charge tiles
+        [nl_s, K_s(*cdim)] with padded slots already zeroed."""
         kern = self.kernel
         sslot = d["p2p_src_slot"]
         tslot = d["p2p_tgt_slot"]
@@ -1150,10 +1374,17 @@ class FmmPlan:
         smask = d["s_leaf_body_mask"][sslot]
         src_rows = {k: v[sbidx] for k, v in sfields.items()}
         tgt_rows = {k: v[tbidx] for k, v in tfields.items()}
-        # charges may be scalar [N] or vector [N, c]; zero the padded slots
-        qg = qm[sbidx]
-        mask = smask if qg.ndim == 2 else smask[..., None]
-        qg = jnp.where(mask, qg, 0.0)
+        if slots:
+            K_s = self.src.leaf_pad
+            cdim = getattr(kern, "charge_dim", 1)
+            qt = qm.reshape(len(self.src.leaf_ids), K_s, cdim) \
+                if cdim > 1 else qm.reshape(-1, K_s)
+            qg = qt[sslot]
+        else:
+            # charges may be scalar [N] or vector [N, c]; zero padded slots
+            qg = qm[sbidx]
+            mask = smask if qg.ndim == 2 else smask[..., None]
+            qg = jnp.where(mask, qg, 0.0)
 
         def one_pair(tf, sf, qrow, mrow):
             return kern.p2p_block(tf, sf, qrow, mrow)
@@ -1163,7 +1394,10 @@ class FmmPlan:
             self.config.p2p_chunk,
         )
         seg = _seg_sum(vals, tslot, nl)
-        return seg.reshape(nl * K, -1)[d["t_body_flat_slot"]]
+        out = seg.reshape(nl * K, -1)
+        if slots:
+            return jnp.where(d["t_slot_mask"][:, None], out, 0.0)
+        return out[d["t_body_flat_slot"]]
 
     # ------------------------------------------------------------------
     # public API
@@ -1258,6 +1492,83 @@ class FmmPlan:
             return out[:, 0] if rdim == 1 else out.reshape(-1)
 
         return matvec, operand_for_p
+
+    def solver_ops_slots(self, flipped=False):
+        """Slot-space operator form for the device solver: the Krylov
+        vectors live in the padded leaf-tile layout, so the matvec does
+        ZERO body-order index gathers per iteration (see
+        ``_matvec_slots``).  Returns
+
+            (matvec, operand_for_p, to_slots, from_slots, nslots)
+
+        with ``to_slots(x_user) -> x_slot`` / ``from_slots(r_slot) ->
+        r_user`` the one-time solve entry/exit conversions, or ``None``
+        when the plan cannot run tile-resident (COO near-field replay,
+        dual trees, or non-square charge/result dims).
+        """
+        kern = self.kernel
+        rdim = getattr(kern, "result_dim", 1)
+        cdim = getattr(kern, "charge_dim", 1)
+        if self.dual or cdim != rdim:
+            return None
+        if (
+            self.near_rows is not None
+            and len(self.near_rows)
+            and not self._use_panels
+        ):
+            return None
+        nl_s, K_s = len(self.src.leaf_ids), self.src.leaf_pad
+        nl_t, K_t = len(self.tgt.leaf_ids), self.tgt.leaf_pad
+        n = self.src.tree.num_bodies
+
+        if flipped:
+            sfh, tfh = self._flipped_fields()
+            sf = self.device_fields(sfh)
+            tf = self.device_fields(tfh) if self.dual else sf
+        else:
+            sfh = tfh = None
+            sf = self.device_fields(None, "src")
+            tf = self.device_fields(None, "tgt") if self.dual else sf
+
+        def operand_for_p(p):
+            p = min(int(p), self.config.max_p)
+            aux = self.variant_aux_slots(p, src_host=sfh, tgt_host=tfh)
+            return (self.device_data(p), aux, sf, tf)
+
+        def matvec(operand, x, p):
+            d, aux, sfo, tfo = operand
+            out = self._matvec_slots(
+                d, aux, sfo, tfo, x, min(int(p), self.config.max_p)
+            )
+            return out[:, 0] if rdim == 1 else out.reshape(-1)
+
+        # solve entry/exit index maps (user order <-> slot order)
+        slot_user = jnp.asarray(
+            self.src.tree.perm[
+                self.src.leaf_body_idx.reshape(-1)
+            ].astype(np.int32)
+        )
+        smask = jnp.asarray(self.src.leaf_body_mask.reshape(-1))
+        inv_perm_t = np.argsort(self.tgt.tree.perm)
+        user_slot = jnp.asarray(
+            self.tgt.body_flat_slot[inv_perm_t].astype(np.int32)
+        )
+
+        @jax.jit
+        def to_slots(xu):
+            xu = jnp.asarray(xu)
+            if cdim > 1:
+                g = xu.reshape(n, cdim)[slot_user]
+                return jnp.where(smask[:, None], g, 0.0).reshape(-1)
+            return jnp.where(smask, xu.reshape(n)[slot_user], 0.0)
+
+        @jax.jit
+        def from_slots(rt):
+            rr = rt.reshape(nl_t * K_t, rdim)[user_slot]
+            return rr[:, 0] if rdim == 1 else rr.reshape(-1)
+
+        return matvec, operand_for_p, to_slots, from_slots, \
+            nl_s * K_s * cdim
 
     def calibrate_eps(self, q=None, ps=None, seed=0):
         """Measure the matvec truncation-error decay eps(p) and fit

@@ -20,7 +20,13 @@ import dataclasses
 import jax.numpy as jnp
 import numpy as np
 
-DEFAULT_EDGES = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024)
+#: finer steps in the FMM's typical fan-in range (tens of source boxes
+#: per target) bound padding waste at ~15% instead of ~50%; every
+#: gathered pad row is a wasted 55-GB/s-class random HBM access
+DEFAULT_EDGES = (
+    1, 2, 4, 8, 12, 16, 20, 24, 28, 32, 40, 48, 56, 64, 80, 96, 128,
+    192, 256, 384, 512, 1024,
+)
 
 
 @dataclasses.dataclass

@@ -942,13 +942,13 @@ class LetPlan:
 
         d = {
             "m2m_mats": jnp.asarray(
-                plan._slice_mats_flat(plan.src.m2m_mats, p), dt
+                plan._slice_mats(plan.src.m2m_mats, p), dt
             ),
             "l2l_mats": jnp.asarray(
-                plan._slice_mats_flat(plan.tgt.l2l_mats, p), dt
+                plan._slice_mats(plan.tgt.l2l_mats, p), dt
             ),
             "m2l_mats": jnp.asarray(
-                plan._slice_mats_flat(plan.m2l_classes.mats, p), dt
+                plan._slice_mats(plan.m2l_classes.mats, p), dt
             ),
             "m2l_src": jnp.asarray(self.m2l_src),
             "m2l_scale": jnp.asarray(self.m2l_scale, dt),
@@ -1132,6 +1132,9 @@ class LetPlan:
         AX = self.AXIS
         K = self.K
         cdim, rdim = self.cdim, self.rdim
+        ncomp = kern.ncomp
+        W = cW // ncomp
+        from fmm_bem_tpu.executor.plan import apply_flat_trans
 
         # ---- 1. leaf charge tiles + halo all_gather (fires first; XLA
         # overlaps it with the local upward pass)
@@ -1205,7 +1208,9 @@ class LetPlan:
                     continue
                 ch = d["lvl_loc"][lvl - 1][c][0]
                 pa = d["lvl_loc"][lvl - 1][c][1]
-                M = M.at[pa].add(M[ch] @ d["m2m_mats"][e[2]].T)
+                M = M.at[pa].add(
+                    apply_flat_trans(M[ch], d["m2m_mats"][e[2]], ncomp)
+                )
 
         # ---- 3./4. shared top: psum + replicated M2M
         AX_ALL = (self.AXIS_DCN, AX) if self.ndcn > 1 else AX
@@ -1220,7 +1225,9 @@ class LetPlan:
                     ch, pa, mi = e
                     ch = d["lvl_sh"][lvl - 1][c][0]
                     pa = d["lvl_sh"][lvl - 1][c][1]
-                    M = M.at[pa].add(M[ch] @ d["m2m_mats"][mi].T)
+                    M = M.at[pa].add(
+                        apply_flat_trans(M[ch], d["m2m_mats"][mi], ncomp)
+                    )
 
         # ---- 5. LET halo: export owned multipoles, import remote ones
         if self.ndcn > 1:
@@ -1249,8 +1256,11 @@ class LetPlan:
         if self.has_m2l:
             TS = plan.m2l_tile_size
             npairs = self.m2l_ntile * TS
-            Mg = M[d["m2l_src"]].reshape(self.m2l_ntile, TS, cW)
-            mats = d["m2l_mats"][d["m2l_cls"]]
+            # component axis folded into matmul rows (see plan._phase_m2l)
+            Mg = M[d["m2l_src"]].reshape(
+                self.m2l_ntile, TS * ncomp, W
+            )
+            mats = d["m2l_mats"][d["m2l_cls"]]  # [ntile, W, W]
             outp = jnp.einsum("tpw,tvw->tpv", Mg, mats).reshape(
                 npairs, cW
             )
@@ -1310,7 +1320,11 @@ class LetPlan:
                     if e is not None:
                         ch = d["lvl_sh"][lvl - 1][c][0]
                         pa = d["lvl_sh"][lvl - 1][c][1]
-                        L = L.at[ch].add(L[pa] @ d["l2l_mats"][e[2]].T)
+                        L = L.at[ch].add(
+                            apply_flat_trans(
+                                L[pa], d["l2l_mats"][e[2]], ncomp
+                            )
+                        )
                 for c in range(8):
                     e = self.levels_local[lvl - 1][c]
                     if e is not None:
@@ -1320,8 +1334,11 @@ class LetPlan:
                         # beyond R_red); clamp onto the L layout's
                         # zero-read / garbage-sink rows
                         L = L.at[jnp.minimum(ch, self.SINK_L)].add(
-                            L[jnp.minimum(pa, self.ZERO_L)]
-                            @ d["l2l_mats"][e[2]].T
+                            apply_flat_trans(
+                                L[jnp.minimum(pa, self.ZERO_L)],
+                                d["l2l_mats"][e[2]],
+                                ncomp,
+                            )
                         )
 
             Lb = L[d["body_leaf_row"]]

@@ -68,7 +68,14 @@ def run(backend="default", recursions=7, p=5, iters=10, chain=50):
     # sustained matvec throughput: chain `chain` matvecs inside one jit
     # (exactly how the device-resident GMRES consumes them) so the
     # number reflects the chip, not the host/tunnel dispatch overhead.
-    mv, op4p = plan.solver_ops()
+    # The production solve path is SLOT-space (tile-resident Krylov
+    # vectors, see FmmPlan.solver_ops_slots) — measure that.
+    slot_ops = plan.solver_ops_slots()
+    if slot_ops is not None:
+        mv, op4p, to_slots, from_slots, _ = slot_ops
+    else:
+        mv, op4p = plan.solver_ops()
+        to_slots = from_slots = lambda x: x
     operand = op4p(p)
 
     @jax.jit
@@ -86,7 +93,7 @@ def run(backend="default", recursions=7, p=5, iters=10, chain=50):
     def ident(q):
         return q * 1.0000001
 
-    q = jnp.ones(n, jnp.float32)
+    q = to_slots(jnp.ones(n, jnp.float32))
     np.asarray(ident(q))
     t0 = time.time()
     out = np.asarray(chained(operand, q))
@@ -129,7 +136,13 @@ def run(backend="default", recursions=7, p=5, iters=10, chain=50):
     info = None
     if elapsed() < budget - 150:
         b = np.asarray(plan.apply(qn, p=p)[:, 0])
-        mvf, op4pf = plan.solver_ops(flipped=True)
+        slot_f = plan.solver_ops_slots(flipped=True)
+        if slot_f is not None:
+            mvf, op4pf, to_s, from_s = slot_f[:4]
+            b = to_s(b)
+        else:
+            mvf, op4pf = plan.solver_ops(flipped=True)
+            from_s = lambda x: x
         # the reference's default residual tolerance
         # (SolverOptions.hpp:23); achievable in f32 on TPU since the
         # framework forces true-f32 matmul precision (see
@@ -147,7 +160,9 @@ def run(backend="default", recursions=7, p=5, iters=10, chain=50):
             mvf, b, operand_for_p=op4pf, config=cfg, p_fixed=p, context=ctx
         )
         solve_s = time.time() - t0
-        sol_err = float(np.linalg.norm(np.asarray(x) - 1.0) / np.sqrt(n))
+        sol_err = float(
+            np.linalg.norm(np.asarray(from_s(x)) - 1.0) / np.sqrt(n)
+        )
 
     stage_s["solve_done"] = round(time.time() - t_start, 1)
 

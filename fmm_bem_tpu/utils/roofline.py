@@ -67,28 +67,29 @@ def _flop_byte_model(plan, p):
     cdim = getattr(kern, "charge_dim", 1)
 
     model = {}
-    # P2M table: per body a cdim x cW contribution + leaf-tile reduce
+    # P2M table: slot-ordered cdim x cW contribution + tile reduce
     model["p2m"] = (
-        2.0 * n * cW * cdim,
-        (n * cW * cdim + nl * K * cW + nbox * cW) * it,
+        2.0 * nl * K * cW * cdim,
+        (2 * nl * K * cW * cdim + nbox * cW) * it,
     )
     nch = nbox - 1
+    # translation matmuls are de-kron'd: [rows*ncomp, W] x [W, W]
     model["m2m"] = (
-        2.0 * nch * cW * cW,
-        (2 * nch * cW + len(plan.src.m2m_mats) * cW * cW) * it,
+        2.0 * nch * cW * W,
+        (2 * nch * cW + len(plan.src.m2m_mats) * W * W) * it,
     )
     npairs = len(plan.m2l_tile_src)
     ntile = npairs // max(plan.m2l_tile_size, 1) if npairs else 0
     model["m2l"] = (
-        2.0 * npairs * cW * cW,
-        # gathered expansions in+out, one cW x cW matrix per TILE, and
+        2.0 * npairs * cW * W,
+        # gathered expansions in+out, one W x W matrix per TILE, and
         # the bucket-sum re-read
-        (3 * npairs * cW + ntile * cW * cW) * it,
+        (3 * npairs * cW + ntile * W * W) * it,
     )
     model["l2l"] = model["m2m"]
     model["l2p"] = (
-        2.0 * n * cW * rdim,
-        (n * cW * (1 + rdim) + n * rdim) * it,
+        2.0 * nl * K * cW * rdim,
+        (nl * K * cW * rdim + nl * cW + nl * K * rdim) * it,
     )
     panels, meta = plan.near_panels()
     if panels is not None:
@@ -107,10 +108,23 @@ def phase_breakdown(plan, p, q=None, chain=20, iters=3):
     n = plan.src.tree.num_bodies
     if q is None:
         q = np.ones(n, dtype=dt)
-    d = plan.device_data(p)
-    aux = plan.variant_aux(p)
     sf = plan.device_fields()
     qm0 = jnp.asarray(q, dt)
+
+    # measure the PRODUCTION layout: slot-space when the plan supports
+    # it (the solver path), else the body-order phases
+    slot_ops = plan.solver_ops_slots()
+    cdim = getattr(plan.kernel, "charge_dim", 1)
+    nl = len(plan.src.leaf_ids)
+    K = plan.src.leaf_pad
+    st = plan.src.tree
+    cW = plan.kernel.ncomp * plan.kernel.width(p)
+    if slot_ops is not None:
+        aux = plan.variant_aux_slots(p)
+        qm0 = slot_ops[2](qm0)  # to_slots
+    else:
+        aux = plan.variant_aux(p)
+    d = plan.device_data(p)
 
     def mix(x, out):
         # feed a scalar function of the phase output back into the
@@ -120,14 +134,38 @@ def phase_breakdown(plan, p, q=None, chain=20, iters=3):
             s = s.sum(axis=-1)[...] if s.ndim > 1 else s.sum()
         return x * (1.0 + 1e-30 * s)
 
+    def _p2m_slots(d_, aux_, q_t):
+        if "p2m_tab_t" in aux_:
+            tab = aux_["p2m_tab_t"]
+            if cdim == 1:
+                contrib = q_t[:, None] * tab
+            else:
+                contrib = jnp.einsum(
+                    "nc,cnw->nw", q_t.reshape(nl * K, cdim), tab
+                )
+        else:
+            contrib = plan.kernel.p2m(
+                aux_["s_fields_t"], q_t, aux_["s_dn_t"],
+                aux_["s_isig_t"], p,
+            ).reshape(-1, cW)
+            contrib = jnp.where(d_["s_slot_mask"][:, None], contrib, 0.0)
+        return (
+            jnp.zeros((st.num_boxes, cW), dt)
+            .at[d_["s_leaf_ids"]]
+            .set(contrib.reshape(nl, K, cW).sum(axis=1))
+        )
+
     def prefix_fn(k):
         # plan data flows through ARGUMENTS: closure capture would
         # embed it as compile-time constants, which the tunneled
         # remote-compile path rejects (HTTP 413) and AOT caching hates
         def run_(d_, aux_, sf_, x):
             def step(x, _):
-                qm = x[d_["s_perm"]]
-                M = plan._phase_p2m(d_, aux_, sf_, qm, p)
+                if slot_ops is not None:
+                    M = _p2m_slots(d_, aux_, x)
+                else:
+                    qm = x[d_["s_perm"]]
+                    M = plan._phase_p2m(d_, aux_, sf_, qm, p)
                 out = M
                 if k >= 1:
                     M = plan._phase_m2m(d_, M)
@@ -139,10 +177,16 @@ def phase_breakdown(plan, p, q=None, chain=20, iters=3):
                     L = plan._phase_l2l(d_, L)
                     out = L
                 if k >= 4:
-                    out = plan._phase_l2p(d_, aux_, sf_, L, p)
+                    out = (
+                        plan._l2p_slots(d_, aux_, L, p)
+                        if slot_ops is not None
+                        else plan._phase_l2p(d_, aux_, sf_, L, p)
+                    )
                 if k >= 5 and "panels" in aux_:
-                    out = out + plan._near_pass(
-                        d_, aux_["panels"], sf_, qm
+                    out = out + (
+                        plan._near_pass_slots(aux_["panels"], x)
+                        if slot_ops is not None
+                        else plan._near_pass(d_, aux_["panels"], sf_, qm)
                     )
                 return mix(x, out), None
 

@@ -1,0 +1,167 @@
+"""The paper's flagship experiment, recorded on TPU.
+
+Relaxed-p GMRES vs fixed-p GMRES at equal final accuracy on the
+FIRST-KIND Laplace BEM sphere (the reference's default hard workload:
+LaplaceBEM.cpp:190 solves for dphi/dn given phi with no -second_kind
+flag; the relaxation strategy is SolverOptions::predict_p,
+examples/BEM/SolverOptions.hpp:25-38 / GMRES.hpp:195-225).
+
+Runs on the attached accelerator with the device-resident slot-space
+GMRES.  Each mode is run twice; the SECOND (warm, all p-tiers
+compiled) wall-clock is reported.  Writes results/RELAX_TPU.json and
+prints a markdown table for PERF.md.
+
+Usage: python perf/relax_experiment.py [recursions] [max_p]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_ccache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import numpy as np
+
+from fmm_bem_tpu.bem.integrals import near_entries_laplace
+from fmm_bem_tpu.bem.panels import make_panels
+from fmm_bem_tpu.bem.triangulation import unit_sphere
+from fmm_bem_tpu.config import FMMConfig, SolverConfig
+from fmm_bem_tpu.executor.plan import FmmPlan
+from fmm_bem_tpu.kernels.laplace_bem import LaplaceBEMKernel
+from fmm_bem_tpu.solver.gmres import DeviceGmresContext, gmres_device
+
+REC = int(sys.argv[1]) if len(sys.argv) > 1 else 7
+MAX_P = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+TOL = 1e-5
+
+
+def main():
+    tris = unit_sphere(REC)
+    n = len(tris)
+    fields = make_panels(tris, K=3)
+    kern = LaplaceBEMKernel(K=3)
+    t0 = time.time()
+    plan = FmmPlan(
+        kern, fields, FMMConfig(ncrit=64, dtype="float32", max_p=MAX_P)
+    )
+    print(
+        f"panels={n} max_p={MAX_P} backend={jax.devices()[0].platform} "
+        f"build={time.time()-t0:.1f}s",
+        flush=True,
+    )
+
+    # RHS: b = (dGdn operator) @ phi=1 — the flipped-BC matvec replaces
+    # the reference's full plan rebuild (LaplaceBEM.cpp:218-232)
+    b_user = np.asarray(plan.apply_flipped_bc(np.ones(n), p=MAX_P)[:, 0])
+
+    # the system operator is the DEFAULT-BC plan (first kind: solve
+    # G dphi/dn = b); diagonal PC like the reference driver default
+    mv, op4p, to_slots, from_slots, _ = plan.solver_ops_slots()
+    idx = np.arange(n)
+    G, dG = near_entries_laplace(fields, fields, idx, idx,
+                                 fine_K=kern.fine_K)
+    diag = np.where(np.asarray(fields["bc"]) == 0.0, G, dG)
+    inv_slots = to_slots(1.0 / diag.astype(np.float32))
+    M = lambda r: inv_slots * r
+
+    b = to_slots(b_user)
+    calib = plan.calibrate_eps()
+    print(f"calibrated eps(p): c={calib[0]}, gamma={calib[1]}", flush=True)
+
+    def run(label, cfg, p_fixed):
+        ctx = DeviceGmresContext()
+        times = []
+        for rep in range(2):
+            t0 = time.time()
+            x, info = gmres_device(
+                mv, b, operand_for_p=op4p, config=cfg,
+                p_fixed=p_fixed, M=M, context=ctx,
+            )
+            times.append(time.time() - t0)
+        xu = np.asarray(from_slots(x))
+        err = float(np.linalg.norm(xu - 1.0) / np.sqrt(n))
+        ps = [h[2] for h in info.history]
+        rec = {
+            "label": label,
+            "iterations": info.iterations,
+            "converged": bool(info.converged),
+            "residual": float(info.residual),
+            "solution_err": err,
+            "solve_s_warm": round(times[-1], 3),
+            "solve_s_cold": round(times[0], 3),
+            "p_trajectory": ps,
+        }
+        print(
+            f"{label:28s} its={info.iterations:3d} warm={times[-1]:7.3f}s "
+            f"err={err:.3e} conv={info.converged} "
+            f"p:{ps[:3]}..{ps[-3:] if ps else []}",
+            flush=True,
+        )
+        return rec
+
+    base = dict(residual=TOL, max_p=MAX_P, max_iters=150, restart=150)
+    results = [
+        run("fixed p=5 (ref default)",
+            SolverConfig(**base), p_fixed=5),
+        run("fixed p=8",
+            SolverConfig(**base), p_fixed=8),
+        run(f"fixed p={MAX_P}",
+            SolverConfig(**base), p_fixed=MAX_P),
+        run("relaxed Bouras p_min=1",
+            SolverConfig(**base, p_min=1, variable_p=True), None),
+        run("relaxed Bouras p_min=3",
+            SolverConfig(**base, p_min=3, variable_p=True), None),
+    ]
+    if calib[0] is not None:
+        scfg = SolverConfig(**base, p_min=1, variable_p=True)
+        scfg = scfg.calibrated(plan)
+        results.append(run("relaxed calibrated eps(p)", scfg, None))
+
+    out = {
+        "n_panels": n,
+        "max_p": MAX_P,
+        "tol": TOL,
+        "backend": jax.devices()[0].platform,
+        "eps_calib": calib,
+        "runs": [
+            {k: v for k, v in r.items() if k != "p_trajectory"}
+            | {"p_counts": {
+                str(p): [h for h in r["p_trajectory"]].count(p)
+                for p in sorted(set(r["p_trajectory"]))
+            }}
+            for r in results
+        ],
+    }
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "results", "RELAX_TPU.json",
+    )
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"\nwrote {path}\n")
+
+    print("| mode | iterations | p per iteration | warm solve | "
+          "solution err |")
+    print("|---|---:|---|---:|---:|")
+    for r in results:
+        ps = r["p_trajectory"]
+        cnt = {}
+        for p in ps:
+            cnt[p] = cnt.get(p, 0) + 1
+        pdesc = ", ".join(
+            f"{c}x p={p}" for p, c in sorted(cnt.items(), reverse=True)
+        )
+        print(
+            f"| {r['label']} | {r['iterations']} | {pdesc} | "
+            f"{r['solve_s_warm']:.2f} s | {r['solution_err']:.2e} |"
+        )
+
+
+if __name__ == "__main__":
+    main()

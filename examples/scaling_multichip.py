@@ -85,7 +85,7 @@ def _bem_plan(recursions, ncrit, dtype, max_p):
     )
 
 
-def _point_plan(n, ncrit, dtype, max_p, seed=0):
+def _point_plan(n, ncrit, dtype, max_p, seed=0, leaf_pad=None):
     from fmm_bem_tpu.config import FMMConfig
     from fmm_bem_tpu.executor.plan import FmmPlan
     from fmm_bem_tpu.kernels.laplace import LaplaceKernel
@@ -94,7 +94,8 @@ def _point_plan(n, ncrit, dtype, max_p, seed=0):
     return FmmPlan(
         LaplaceKernel(),
         {"xyz": pts},
-        FMMConfig(ncrit=ncrit, dtype=dtype, max_p=max_p),
+        FMMConfig(ncrit=ncrit, dtype=dtype, max_p=max_p,
+                  leaf_pad=leaf_pad),
     )
 
 
@@ -120,6 +121,14 @@ def main():
     ap.add_argument("-ncrit", type=int, default=64)
     ap.add_argument("-dtype", default="float32")
     ap.add_argument("-cpu", action="store_true", help="force host platform")
+    ap.add_argument("-devs", type=str, default=None,
+                    help="comma list of device counts (default 1,2,4,8"
+                    " capped at available)")
+    ap.add_argument("-pin_leaf_pad", type=int, default=None,
+                    help="pin the leaf tile width across the sweep "
+                    "(default: ncrit in weak/strong modes) so P2P "
+                    "block shapes are constant — tree-shape changes "
+                    "otherwise masquerade as scaling effects")
     args = ap.parse_args()
 
     import jax
@@ -129,7 +138,10 @@ def main():
     from fmm_bem_tpu.parallel.let import LetPlan
 
     ndev_all = len(jax.devices())
-    counts = [d for d in (1, 2, 4, 8, 16, 32) if d <= ndev_all]
+    if args.devs:
+        counts = [int(c) for c in args.devs.split(",")]
+    else:
+        counts = [d for d in (1, 2, 4, 8, 16, 32) if d <= ndev_all]
     itemsize = np.dtype(args.dtype).itemsize
     print(f"devices available: {ndev_all} ({jax.devices()[0].platform})")
 
@@ -157,12 +169,15 @@ def main():
         return
 
     # weak / strong: point Laplace (panel counts quantise by 4x)
+    pin = args.pin_leaf_pad if args.pin_leaf_pad else args.ncrit
     base_rate = None
-    print(f"Laplace points, p={args.p}, {args.mode} scaling")
+    print(f"Laplace points, p={args.p}, {args.mode} scaling, "
+          f"leaf_pad pinned to {pin}")
     print("ndev       N   matvec[ms]    pairs/s   efficiency")
     for nd in counts:
         n = args.N * nd if args.mode == "weak" else args.N
-        plan = _point_plan(n, args.ncrit, args.dtype, max(args.p, 6))
+        plan = _point_plan(n, args.ncrit, args.dtype, max(args.p, 6),
+                           leaf_pad=pin)
         lp = LetPlan(plan, nd)
         q = np.random.default_rng(1).standard_normal(n).astype(args.dtype)
         dt, _ = _time_matvec(lp, q, args.p)

@@ -80,6 +80,11 @@ class FMMConfig:
     #: block-Jacobi operator (ref FMMOptions block_diagonal +
     #: EvalDiagonalSparse)
     block_diagonal: bool = False
+    #: pin the leaf-tile width (must be >= the max leaf occupancy,
+    #: which ncrit bounds).  Keeps P2P/near block shapes constant
+    #: across problem sizes — scaling sweeps use it to eliminate
+    #: tree-shape artifacts from weak-scaling comparisons
+    leaf_pad: Optional[int] = None
     #: drop-tolerance for the precomputed sparse near field: entries
     #: with |value| <= droptol are dropped at plan build — the paper's
     #: inexact-matvec knob the reference carries in

@@ -154,12 +154,16 @@ def check_kernel(kernel, config):
 
 @dataclasses.dataclass
 class _ClassedPairs:
-    """M2L pairs grouped by scale-normalised translation class."""
+    """M2L pairs grouped by translation class.  Classes are keyed by
+    (level gap, absolute source level, normalised offset), so the
+    kernel's per-pair scale (a function of the source box size only)
+    is CONSTANT per class and folded into the class matrix — the
+    per-pair scale multiply it replaces measured ~1 ms per matvec at
+    131k panels (a [npairs]-sublane broadcast XLA handles badly)."""
 
     src: list          # per-class source box ids (source tree)
     tgt: list          # per-class target box ids (target tree)
-    scale: list        # per-class per-pair kernel scale factor
-    mats: np.ndarray   # [ncls, W, W]
+    mats: np.ndarray   # [ncls, W, W], kernel scale folded in
 
 
 @dataclasses.dataclass
@@ -185,13 +189,21 @@ class _TreeSide:
     l2l_mats: np.ndarray
 
 
-def _build_side(tree, fields, kern, pmax, scale_inv):
+def _build_side(tree, fields, kern, pmax, scale_inv, leaf_pad=None):
     n = tree.num_bodies
     leaves = tree.leaves.astype(np.int32)
     nl = len(leaves)
     box_to_slot = np.full(tree.num_boxes, -1, dtype=np.int32)
     box_to_slot[leaves] = np.arange(nl, dtype=np.int32)
     K = int(tree.box_body_count[leaves].max())
+    if leaf_pad is not None:
+        # pinned leaf-tile width: keeps P2P/near block shapes constant
+        # across problem sizes (scaling sweeps) and across LET shards
+        if leaf_pad < K:
+            raise ValueError(
+                f"config.leaf_pad={leaf_pad} < max leaf occupancy {K}"
+            )
+        K = int(leaf_pad)
     counts = tree.box_body_count[leaves]
     starts = tree.box_body_start[leaves]
     pos = np.arange(K)[None, :]
@@ -325,9 +337,15 @@ class FmmPlan:
         from fmm_bem_tpu.utils.metrics import log
 
         with log.phase("build.sides"):
-            self.src = _build_side(stree, sfields, kernel, pmax, scale_inv)
+            self.src = _build_side(
+                stree, sfields, kernel, pmax, scale_inv,
+                leaf_pad=cfg.leaf_pad,
+            )
             self.tgt = (
-                _build_side(ttree, tfields, kernel, pmax, scale_inv)
+                _build_side(
+                    ttree, tfields, kernel, pmax, scale_inv,
+                    leaf_pad=cfg.leaf_pad,
+                )
                 if self.dual
                 else self.src
             )
@@ -389,8 +407,7 @@ class FmmPlan:
             sig_s = np.zeros(0)
             sig_t = sig_s
 
-        scale_inv = getattr(kern, "scale_invariant", True)
-        src_list, tgt_list, scale_list, mats = [], [], [], []
+        src_list, tgt_list, mats = [], [], []
         cls_of_pair = []
         if len(s):
             offn = (tt.box_center[tg] - st.box_center[s]) / sig_s[:, None]
@@ -413,11 +430,12 @@ class FmmPlan:
                 - tt.box_level[tg].astype(np.int64)
                 + 8
             )
-            # non-scale-invariant kernels (Yukawa) need distinct
-            # matrices per absolute level, not just per level gap
-            lkey = dlvl if scale_inv else (
-                dlvl * 16 + st.box_level[s].astype(np.int64)
-            )
+            # the key includes the ABSOLUTE source level (not just the
+            # gap) for every kernel: non-scale-invariant kernels
+            # (Yukawa) need per-level matrices anyway, and for the rest
+            # it makes the per-pair kernel scale class-constant so it
+            # folds into the matrix (see _ClassedPairs)
+            lkey = dlvl * 16 + st.box_level[s].astype(np.int64)
             key = ((lkey * 8192 + ki[:, 0]) * 8192 + ki[:, 1]) * 8192 + ki[:, 2]
             uniq, inv = np.unique(key, return_inverse=True)
             order = np.argsort(inv, kind="stable")
@@ -426,14 +444,21 @@ class FmmPlan:
                 sel = order[bounds[ci] : bounds[ci + 1]]
                 rep = sel[0]
                 drm = tt.box_center[tg[rep]] - st.box_center[s[rep]]
-                mats.append(kern.m2l_matrix(drm, sig_s[rep], sig_t[rep], pmax))
+                scale_c = float(
+                    np.asarray(
+                        kern.m2l_pair_scale(sig_s[rep : rep + 1])
+                    ).reshape(-1)[0]
+                )
+                mats.append(
+                    scale_c
+                    * kern.m2l_matrix(drm, sig_s[rep], sig_t[rep], pmax)
+                )
                 src_list.append(s[sel].astype(np.int32))
                 tgt_list.append(tg[sel].astype(np.int32))
-                scale_list.append(kern.m2l_pair_scale(sig_s[sel]))
         W = kern.width(pmax)
         mats_arr = np.stack(mats) if mats else np.zeros((0, W, W))
         self.m2l_classes = _ClassedPairs(
-            src=src_list, tgt=tgt_list, scale=scale_list, mats=mats_arr
+            src=src_list, tgt=tgt_list, mats=mats_arr
         )
         self._build_m2l_tiles()
 
@@ -458,24 +483,24 @@ class FmmPlan:
         TS = max(8, int(self.config.m2l_tile))
         cls = self.m2l_classes
         dummy_tgt = self.tgt.tree.num_boxes  # extra segment, dropped
-        srcs, tgts, scales, tile_cls = [], [], [], []
+        srcs, tgts, tile_cls = [], [], []
         for ci in range(len(cls.src)):
             n = len(cls.src[ci])
             ntile = -(-n // TS)
             pad = ntile * TS - n
             srcs.append(cls.src[ci])
             tgts.append(cls.tgt[ci])
-            scales.append(np.asarray(cls.scale[ci], dtype=np.float64))
             if pad:
+                # padded pairs produce finite garbage (M[0] through the
+                # class matrix) that the bucket reduction DROPS via the
+                # dummy target segment — no per-pair zero scale needed
                 srcs.append(np.zeros(pad, np.int32))
                 tgts.append(np.full(pad, dummy_tgt, np.int32))
-                scales.append(np.zeros(pad))
             tile_cls.append(np.full(ntile, ci, np.int32))
         G = 32  # tiles per scan step (batched einsum width)
         if srcs:
             src = np.concatenate(srcs)
             tgt = np.concatenate(tgts)
-            scale = np.concatenate(scales)
             cls_arr = np.concatenate(tile_cls)
             # pad the tile count to a multiple of G with dummy tiles
             ntile = len(cls_arr)
@@ -485,16 +510,13 @@ class FmmPlan:
                 tgt = np.concatenate(
                     [tgt, np.full(padt * TS, dummy_tgt, np.int32)]
                 )
-                scale = np.concatenate([scale, np.zeros(padt * TS)])
                 cls_arr = np.concatenate([cls_arr, np.zeros(padt, np.int32)])
             self.m2l_tile_src = src
             self.m2l_tile_tgt = tgt
-            self.m2l_tile_scale = scale
             self.m2l_tile_cls = cls_arr
         else:
             self.m2l_tile_src = np.zeros(0, np.int32)
             self.m2l_tile_tgt = np.zeros(0, np.int32)
-            self.m2l_tile_scale = np.zeros(0)
             self.m2l_tile_cls = np.zeros(0, np.int32)
         self.m2l_tile_size = TS
         self.m2l_tile_group = G
@@ -790,7 +812,6 @@ class FmmPlan:
                 ),
                 "m2l_tile_src": jnp.asarray(self.m2l_tile_src),
                 "m2l_tile_tgt": jnp.asarray(self.m2l_tile_tgt),
-                "m2l_tile_scale": jnp.asarray(self.m2l_tile_scale, dt),
                 "m2l_tile_cls": jnp.asarray(self.m2l_tile_cls),
                 "m2l_bsum": self.m2l_bsum.device(),
                 "p2p_src_slot": jnp.asarray(self.p2p_src_slot),
@@ -1300,7 +1321,6 @@ class FmmPlan:
         outp = jnp.einsum("tpw,tvw->tpv", Mg, mats).reshape(
             npairs_pad, cW
         )
-        outp = outp * d["m2l_tile_scale"][:, None]
         return bucket_sum_apply(d["m2l_bsum"], outp)
 
     def _phase_l2l(self, d, L):

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -34,7 +35,7 @@ class BucketSum:
     """Host-side plan for a gather-sum reduction of [P, ...] -> [R, ...]."""
 
     #: per bucket: idx [r_b, m_b] int32 positions into the P inputs
-    #: (dummy = P, resolved against an appended zero row)
+    #: (dummy = P, clamped on device and masked to zero)
     idx: list
     #: output reorder: row r of the result = concat-row inv_order[r]
     inv_order: np.ndarray
@@ -42,8 +43,19 @@ class BucketSum:
     nrows: int
 
     def device(self):
+        # clamp dummies to a real row + a 0/1 mask instead of an
+        # appended zero row: a concat-with-zero-row INSIDE the jit
+        # makes XLA fuse a per-row select into the gather, measured
+        # ~5x slower than gathering from a plain materialised table
         return {
-            "idx": tuple(jnp.asarray(i) for i in self.idx),
+            "idx": tuple(
+                jnp.asarray(np.minimum(i, max(self.nin - 1, 0)))
+                for i in self.idx
+            ),
+            "mask": tuple(
+                jnp.asarray((i < self.nin).astype(np.float32))
+                for i in self.idx
+            ),
             "inv_order": jnp.asarray(self.inv_order),
         }
 
@@ -91,11 +103,19 @@ def build_bucket_sum(targets, nin, nrows, edges=DEFAULT_EDGES):
 
 
 def bucket_sum_apply(dev, x):
-    """Evaluate the planned reduction for inputs x [P, ...]."""
-    xz = jnp.concatenate(
-        [x, jnp.zeros((1,) + x.shape[1:], x.dtype)], axis=0
-    )
-    parts = [jnp.sum(xz[idx], axis=1) for idx in dev["idx"]]
+    """Evaluate the planned reduction for inputs x [P, ...].
+
+    The input is materialised behind an optimization_barrier first:
+    without it XLA fuses the row gathers into x's producer (e.g. the
+    M2L tile einsum, whose output lives in a [ntile, TS*ncomp, W]
+    layout where one logical row is TWO strided sub-rows) — measured
+    ~5x slower than gathering from a plain [P, cW] table."""
+    x = jax.lax.optimization_barrier(x)
+    parts = []
+    for idx, mask in zip(dev["idx"], dev["mask"]):
+        m = mask.reshape(mask.shape + (1,) * (x.ndim - 1))
+        g = x[idx] * m.astype(x.dtype)
+        parts.append(jnp.sum(g, axis=1))
     parts.append(jnp.zeros((1,) + x.shape[1:], x.dtype))
     out = jnp.concatenate(parts, axis=0)
     return out[dev["inv_order"]]

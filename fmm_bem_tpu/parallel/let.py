@@ -77,10 +77,20 @@ class _BucketSumStack:
 
     idx: list          # per bucket: [ndev, rows_b, m_b]
     inv_order: np.ndarray  # [ndev, nrows]
+    nin: int           # dummy index threshold (common across devices)
 
     def device(self):
+        # clamped idx + mask, mirroring ops.bucket_sum (see
+        # BucketSum.device for the rationale)
         return {
-            "idx": tuple(jnp.asarray(i) for i in self.idx),
+            "idx": tuple(
+                jnp.asarray(np.minimum(i, max(self.nin - 1, 0)))
+                for i in self.idx
+            ),
+            "mask": tuple(
+                jnp.asarray((i < self.nin).astype(np.float32))
+                for i in self.idx
+            ),
             "inv_order": jnp.asarray(self.inv_order),
         }
 
@@ -146,20 +156,22 @@ def _build_bucket_sums(per_dev_targets, nins, nrows, edges=BS_EDGES):
         valid = order_rows < nrows
         inv[order_rows[valid]] = np.arange(total, dtype=np.int32)[valid]
         inv_orders.append(inv)
+    assert not isinstance(nins, (list, tuple)), \
+        "stacked bucket plans need a common dummy threshold"
     return _BucketSumStack(
         idx=[np.stack(b) for b in idx_buckets],
         inv_order=np.stack(inv_orders),
+        nin=int(nins),
     )
 
 
 def _bucket_sum_apply(dev, x):
     """Per-device evaluation of a stacked bucket_sum plan (device slice
-    already squeezed)."""
-    xz = jnp.concatenate([x, jnp.zeros((1,) + x.shape[1:], x.dtype)], 0)
-    parts = [jnp.sum(xz[idx], axis=1) for idx in dev["idx"]]
-    parts.append(jnp.zeros((1,) + x.shape[1:], x.dtype))
-    out = jnp.concatenate(parts, axis=0)
-    return out[dev["inv_order"]]
+    already squeezed).  Single flat gather + contiguous reshape-sums —
+    see ops/bucket_sum.bucket_sum_apply."""
+    from fmm_bem_tpu.ops.bucket_sum import bucket_sum_apply
+
+    return bucket_sum_apply(dev, x)
 
 
 class LetPlan:
@@ -500,12 +512,11 @@ class LetPlan:
         TS = plan.m2l_tile_size
         G = plan.m2l_tile_group
         per_dev = [
-            {"src": [], "tgt": [], "scale": [], "cls": []}
+            {"src": [], "tgt": [], "cls": []}
             for _ in range(nd)
         ]
         for ci in range(len(cls.src)):
             s, t = cls.src[ci], cls.tgt[ci]
-            sc = np.asarray(cls.scale[ci], dtype=np.float64)
             dv = self.assign_dev[t]
             for d in range(nd):
                 sel = dv == d
@@ -516,7 +527,6 @@ class LetPlan:
                 pad = ntile * TS - n
                 per_dev[d]["src"].append(self.g2l[d, s[sel]])
                 per_dev[d]["tgt"].append(self.g2l[d, t[sel]])
-                per_dev[d]["scale"].append(sc[sel])
                 if pad:
                     per_dev[d]["src"].append(
                         np.full(pad, self.ZERO, np.int32)
@@ -524,21 +534,18 @@ class LetPlan:
                     per_dev[d]["tgt"].append(
                         np.full(pad, self.R_L, np.int32)  # dropped
                     )
-                    per_dev[d]["scale"].append(np.zeros(pad))
                 per_dev[d]["cls"].append(np.full(ntile, ci, np.int32))
 
-        srcs, tgts, scales, clss = [], [], [], []
+        srcs, tgts, clss = [], [], []
         for d in range(nd):
             pd = per_dev[d]
             if pd["src"]:
                 srcs.append(np.concatenate(pd["src"]))
                 tgts.append(np.concatenate(pd["tgt"]))
-                scales.append(np.concatenate(pd["scale"]))
                 clss.append(np.concatenate(pd["cls"]))
             else:
                 srcs.append(np.zeros(0, np.int32))
                 tgts.append(np.zeros(0, np.int32))
-                scales.append(np.zeros(0))
                 clss.append(np.zeros(0, np.int32))
         self.has_m2l = len(cls.mats) > 0
         ntile_max = max(1, max(len(c) for c in clss))
@@ -549,9 +556,6 @@ class LetPlan:
         )
         self.m2l_tgt = _pad_stack(
             tgts, self.R_L, np.int32, min_len=ntile_max * TS
-        )
-        self.m2l_scale = _pad_stack(
-            scales, 0.0, np.float64, min_len=ntile_max * TS
         )
         self.m2l_cls = _pad_stack(clss, 0, np.int32, min_len=ntile_max)
         self.m2l_bsum = _build_bucket_sums(
@@ -951,7 +955,6 @@ class LetPlan:
                 plan._slice_mats(plan.m2l_classes.mats, p), dt
             ),
             "m2l_src": jnp.asarray(self.m2l_src),
-            "m2l_scale": jnp.asarray(self.m2l_scale, dt),
             "m2l_cls": jnp.asarray(self.m2l_cls),
             "m2l_bsum": self.m2l_bsum.device(),
             "leaf_body_idx": jnp.asarray(self.leaf_body_idx),
@@ -1264,7 +1267,6 @@ class LetPlan:
             outp = jnp.einsum("tpw,tvw->tpv", Mg, mats).reshape(
                 npairs, cW
             )
-            outp = outp * d["m2l_scale"][:, None]
             L_red = _bucket_sum_apply(d["m2l_bsum"], outp)  # [R_red, cW]
         else:
             L_red = jnp.zeros((self.R_red, cW), dt)
@@ -1464,7 +1466,7 @@ class LetPlan:
         dd["lvl_sh"] = lvl_sh
 
         sharded_keys = {
-            "m2l_src", "m2l_scale", "m2l_cls", "leaf_body_idx",
+            "m2l_src", "m2l_cls", "leaf_body_idx",
             "leaf_body_mask", "leaf_rows", "body_flat_slot",
             "body_leaf_row", "m_export_rows", "m_import_pos",
             "q_export_rows", "q_import_pos", "p2m_tab", "l2p_tab",

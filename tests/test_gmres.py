@@ -40,9 +40,15 @@ def test_gmres_restart():
     assert np.allclose(np.asarray(x), np.linalg.solve(A, b), atol=1e-6)
 
 
-def _fmm_system(n=900, seed=2):
+@pytest.fixture(scope="module")
+def fmm_system():
     """Shifted Laplace potential system (diagonally dominant so GMRES
-    converges quickly): A = P + c*I with P the FMM potential matrix."""
+    converges quickly): A = P + c*I with P the FMM potential matrix.
+
+    Module-scoped: four solver tests share ONE plan (and its per-p jit
+    cache) — rebuilding it per test recompiled every relaxation tier
+    and dominated the suite wall-clock."""
+    n, seed = 900, 2
     rng = np.random.default_rng(seed)
     pts = rng.uniform(0, 1, (n, 3))
     K = LaplaceKernel()
@@ -60,8 +66,8 @@ def _fmm_system(n=900, seed=2):
     return matvec, A, rng.standard_normal(n)
 
 
-def test_gmres_fmm_operator_fixed_p():
-    matvec, A, b = _fmm_system()
+def test_gmres_fmm_operator_fixed_p(fmm_system):
+    matvec, A, b = fmm_system
     x, info = gmres(
         matvec, b, config=SolverConfig(residual=1e-8, max_p=10), p_fixed=10
     )
@@ -72,11 +78,11 @@ def test_gmres_fmm_operator_fixed_p():
     assert rel < 1e-4, rel
 
 
-def test_gmres_fmm_relaxed_bouras():
+def test_gmres_fmm_relaxed_bouras(fmm_system):
     """Variable-p (inexact Krylov) solve still converges to the true
     solution — the paper's central claim (arXiv:1506.05957).  Bouras-
     Fraysse starts at high p and relaxes as the residual drops."""
-    matvec, A, b = _fmm_system()
+    matvec, A, b = fmm_system
     cfg = SolverConfig(
         residual=1e-6, max_p=10, p_min=2, variable_p=True,
         relax_type=RelaxType.BOURAS,
@@ -92,14 +98,14 @@ def test_gmres_fmm_relaxed_bouras():
     assert rel < 1e-4, rel
 
 
-def test_gmres_fmm_relaxed_simoncini():
+def test_gmres_fmm_relaxed_simoncini(fmm_system):
     """SIMONCINI mode mirrors the reference formula p=ceil(-log2(resid))
     (SolverOptions.hpp:34-35): p *grows* as the residual falls.  The
     preconditioned iteration reports convergence; true accuracy is
     limited by the inexact early matvecs — same behaviour as the
     reference (its Stokes solver adds a p_min floor for this reason,
     GMRES_Stokes.hpp:229)."""
-    matvec, A, b = _fmm_system()
+    matvec, A, b = fmm_system
     cfg = SolverConfig(
         residual=1e-6, max_p=10, p_min=2, variable_p=True,
         relax_type=RelaxType.SIMONCINI,
@@ -110,8 +116,8 @@ def test_gmres_fmm_relaxed_simoncini():
     assert ps[0] < ps[-1], ps
 
 
-def test_fgmres_with_diagonal_pc():
-    matvec, A, b = _fmm_system()
+def test_fgmres_with_diagonal_pc(fmm_system):
+    matvec, A, b = fmm_system
     M = pc.diagonal(np.diag(A))
     x, info = fgmres(matvec, b, config=SolverConfig(residual=1e-8), M=M, p_fixed=10)
     assert info.converged

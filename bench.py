@@ -88,10 +88,15 @@ def _cached_cpu(rec):
 
 def main():
     # accelerator first — the headline number.  Reserve ~90 s of the
-    # deadline for a (possible) live CPU run + emit; shrink to REC-1
-    # after one failure rather than retrying the full size.
+    # deadline for a (possible) live CPU run + emit.  A cold XLA
+    # persistent cache costs ~500 s of tunneled compiles at REC=8, so
+    # a killed first attempt is RETRIED at the same size: every compile
+    # the first attempt finished is already in /tmp/jax_ccache, and the
+    # in-run budget guard skips optional stages on the short retry.
     accel = _run_at("default", REC, min(_remaining() - 90, 850))
     rec_used = REC
+    if accel is None and _remaining() > 150:
+        accel = _run_at("default", REC, _remaining() - 70)
     if accel is None:
         rec_used = REC - 1
         accel = _run_at("default", rec_used, min(_remaining() - 60, 600))

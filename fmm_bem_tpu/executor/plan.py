@@ -999,13 +999,32 @@ class FmmPlan:
         s_msk = jnp.asarray(self.src.leaf_body_mask.reshape(-1))
         t_idx = jnp.asarray(self.tgt.leaf_body_idx.reshape(-1))
         t_msk = jnp.asarray(self.tgt.leaf_body_mask.reshape(-1))
+        # one jitted call per table (eager op-by-op dispatch over a
+        # tunneled backend costs seconds per op)
+        jits = self.__dict__.setdefault("_slot_tab_jits", {})
+        if "to2" not in jits:
+            jits["to2"] = jax.jit(
+                lambda tab, idx, msk: jnp.where(
+                    msk[:, None], tab[..., idx, :], 0.0
+                )
+            )
+            jits["to3"] = jax.jit(
+                lambda tab, idx, msk: jnp.where(
+                    msk[None, :, None], tab[..., idx, :], 0.0
+                )
+            )
+            jits["l2p_t"] = jax.jit(
+                lambda tab, idx, msk: jnp.transpose(
+                    jnp.where(msk[:, None, None], tab[idx], 0.0),
+                    (2, 0, 1),
+                )
+            )
 
         if "p2m_tab" in aux:
             tab = aux["p2m_tab"]  # [n, cW] or [cdim, n, cW]
-            tabt = tab[..., s_idx, :]
-            aux["p2m_tab_t"] = jnp.where(s_msk[:, None], tabt, 0.0) \
-                if tab.ndim == 2 else \
-                jnp.where(s_msk[None, :, None], tabt, 0.0)
+            aux["p2m_tab_t"] = (
+                jits["to2"] if tab.ndim == 2 else jits["to3"]
+            )(tab, s_idx, s_msk)
         else:
             sfd = self.device_fields(
                 sfh if src_host is not None else None, "src"
@@ -1019,9 +1038,9 @@ class FmmPlan:
             # result-component-major [rdim, nl*K, cW]: keeps the two
             # TILED trailing dims dense (a trailing rdim=1 axis would
             # pad to 128 lanes and cripple the einsum)
-            tabt = aux["l2p_tab"][t_idx]  # [nl*K, cW, rdim]
-            tabt = jnp.where(t_msk[:, None, None], tabt, 0.0)
-            aux["l2p_tab_t"] = jnp.transpose(tabt, (2, 0, 1))
+            aux["l2p_tab_t"] = jits["l2p_t"](
+                aux["l2p_tab"], t_idx, t_msk
+            )
         else:
             tfd = self.device_fields(
                 tfh if tgt_host is not None else None,
@@ -1574,7 +1593,9 @@ class FmmPlan:
             self.tgt.body_flat_slot[inv_perm_t].astype(np.int32)
         )
 
-        @jax.jit
+        # eager on purpose: these run once per solve, and a jit here
+        # closure-captures the index arrays as embedded HLO constants —
+        # the tunneled remote compile path took ~500 s on exactly that
         def to_slots(xu):
             xu = jnp.asarray(xu)
             if cdim > 1:
@@ -1582,7 +1603,6 @@ class FmmPlan:
                 return jnp.where(smask[:, None], g, 0.0).reshape(-1)
             return jnp.where(smask, xu.reshape(n)[slot_user], 0.0)
 
-        @jax.jit
         def from_slots(rt):
             rr = rt.reshape(nl_t * K_t, rdim)[user_slot]
             return rr[:, 0] if rdim == 1 else rr.reshape(-1)

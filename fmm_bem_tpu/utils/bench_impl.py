@@ -31,6 +31,11 @@ def run(backend="default", recursions=7, p=5, iters=10, chain=50):
     def elapsed():
         return time.time() - t_start
 
+    def note(msg):
+        # stderr progress marks (stdout carries only the JSON line)
+        print(f"[bench +{elapsed():6.1f}s] {msg}", file=sys.stderr,
+              flush=True)
+
     if backend == "cpu":
         jax.config.update("jax_platforms", "cpu")
     # persistent compilation cache: repeat benches / production runs
@@ -53,6 +58,7 @@ def run(backend="default", recursions=7, p=5, iters=10, chain=50):
     if platform == "cpu":
         chain = max(2, chain // 10)
         iters = max(1, iters // 5)
+    note(f"start backend={platform} rec={recursions}")
     tris = unit_sphere(recursions)
     fields = make_panels(tris, K=3)
     n = len(tris)
@@ -64,6 +70,7 @@ def run(backend="default", recursions=7, p=5, iters=10, chain=50):
         FMMConfig(ncrit=64, dtype="float32", max_p=max(p, 8)),
     )
     build_s = time.time() - t0
+    note(f"plan built ({build_s:.1f}s)")
 
     # sustained matvec throughput: chain `chain` matvecs inside one jit
     # (exactly how the device-resident GMRES consumes them) so the
@@ -76,7 +83,9 @@ def run(backend="default", recursions=7, p=5, iters=10, chain=50):
     else:
         mv, op4p = plan.solver_ops()
         to_slots = from_slots = lambda x: x
+    note("building solver operand (near panels + slot tables)")
     operand = op4p(p)
+    note("operand ready")
 
     @jax.jit
     def chained(operand, q):
@@ -94,10 +103,12 @@ def run(backend="default", recursions=7, p=5, iters=10, chain=50):
         return q * 1.0000001
 
     q = to_slots(jnp.ones(n, jnp.float32))
+    note("compiling chained matvec")
     np.asarray(ident(q))
     t0 = time.time()
     out = np.asarray(chained(operand, q))
     compile_s = time.time() - t0
+    note(f"chain compiled ({compile_s:.1f}s); timing")
 
     t0 = time.time()
     for _ in range(iters):
@@ -110,6 +121,7 @@ def run(backend="default", recursions=7, p=5, iters=10, chain=50):
     dt = max((time.time() - t0) / iters - t_base, 1e-9) / chain
 
     stage_s = {"chain_done": round(time.time() - t_start, 1)}
+    note("chain timed")
 
     # single dispatched matvec (includes host + tunnel overhead)
     qn = np.ones(n, dtype=np.float32)
@@ -165,6 +177,7 @@ def run(backend="default", recursions=7, p=5, iters=10, chain=50):
         )
 
     stage_s["solve_done"] = round(time.time() - t_start, 1)
+    note("solve done")
 
     # near-field kernel equivalence ON THIS BACKEND (the Pallas panel
     # contraction vs the reference einsum on identical device arrays) —
@@ -196,6 +209,7 @@ def run(backend="default", recursions=7, p=5, iters=10, chain=50):
     # per-matvec P2P/M2L split, EvalInteractionLazy.hpp:137-152,
     # upgraded with %-of-peak accounting)
     stage_s["near_equiv_done"] = round(time.time() - t_start, 1)
+    note("near equiv done; phases")
 
     from fmm_bem_tpu.utils.roofline import phase_breakdown
 

@@ -1,4 +1,7 @@
-"""Replicate the EXACT in-situ m2l bucket_sum indices in isolation to
+"""
+[timing note: the chain step consumes the FULL output sum —
+a sliced consumer lets XLA dead-code most of the work]
+Replicate the EXACT in-situ m2l bucket_sum indices in isolation to
 find why the in-situ reduction runs ~4x slower than the synthetic
 microbenchmark (1.5 ns/row vs 5-7 ns/row).
 
@@ -31,7 +34,7 @@ def timed(name, fn, data, x0, bytes_=0):
         def step(c, _):
             xm = x * (1.0 + 1e-12 * c)
             out = fn(data, xm)
-            return out.reshape(-1)[:8].astype(jnp.float32).sum(), None
+            return out.astype(jnp.float32).sum() * 1e-20, None
 
         o, _ = jax.lax.scan(step, jnp.float32(0.0), None, length=CHAIN)
         return o

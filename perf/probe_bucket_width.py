@@ -1,4 +1,7 @@
-"""Does padding gather rows to 128 lanes (512B) fix the large-table
+"""
+[timing note: the chain step consumes the FULL output sum —
+a sliced consumer lets XLA dead-code most of the work]
+Does padding gather rows to 128 lanes (512B) fix the large-table
 gather rate?  The M2L bucket reduction gathers ~200k rows of 240B from
 a ~50MB table at ~55 GB/s; the microbench shows 512B rows from an 8MB
 table run at ~800 GB/s.  This isolates table size vs row width.
@@ -32,7 +35,7 @@ def timed(name, fn, data, x0, bytes_=0):
         def step(c, _):
             xm = x * (1.0 + 1e-12 * c)
             out = fn(data, xm)
-            return out.reshape(-1)[:8].astype(jnp.float32).sum(), None
+            return out.astype(jnp.float32).sum() * 1e-20, None
 
         o, _ = jax.lax.scan(step, jnp.float32(0.0), None, length=CHAIN)
         return o

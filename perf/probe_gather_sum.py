@@ -1,4 +1,7 @@
-"""Micro-probe: why does gather+sum run at 55 GB/s when the bare
+"""
+[timing note: the chain step consumes the FULL output sum —
+a sliced consumer lets XLA dead-code most of the work]
+Micro-probe: why does gather+sum run at 55 GB/s when the bare
 gather runs at 262 GB/s?  Tests whether materialising the gather with
 an optimization_barrier before the dense reduction restores the gather
 rate, and times the de-kron'd M2L einsum shapes.
@@ -28,7 +31,7 @@ def timed(name, fn, data, x0, bytes_=0, flops=0):
         def step(c, _):
             xm = x * (1.0 + 1e-12 * c)
             out = fn(data, xm)
-            return out.reshape(-1)[:8].astype(jnp.float32).sum(), None
+            return out.astype(jnp.float32).sum() * 1e-20, None
 
         o, _ = jax.lax.scan(step, jnp.float32(0.0), None, length=CHAIN)
         return o

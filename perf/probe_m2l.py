@@ -1,4 +1,7 @@
-"""In-situ decomposition of the (de-kron'd) M2L phase at bench scale.
+"""
+[timing note: the chain step consumes the FULL output sum —
+a sliced consumer lets XLA dead-code most of the work]
+In-situ decomposition of the (de-kron'd) M2L phase at bench scale.
 
 Usage: python perf/probe_m2l.py [recursions] [p]
 """
@@ -39,7 +42,7 @@ def timed(name, fn, data, x0, bytes_=0, flops=0):
         def step(c, _):
             xm = x * (1.0 + 1e-12 * c)
             out = fn(data, xm)
-            return out.reshape(-1)[:8].astype(jnp.float32).sum(), None
+            return out.astype(jnp.float32).sum() * 1e-20, None
 
         o, _ = jax.lax.scan(step, jnp.float32(0.0), None, length=CHAIN)
         return o

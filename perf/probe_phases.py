@@ -1,4 +1,7 @@
-"""Round-3 perf probe: decompose the M2L and near-field phases into
+"""
+[timing note: the chain step consumes the FULL output sum —
+a sliced consumer lets XLA dead-code most of the work]
+Round-3 perf probe: decompose the M2L and near-field phases into
 their constituent device ops and time each on the attached backend.
 
 Usage:  python perf/probe_phases.py [recursions] [p]
@@ -43,7 +46,7 @@ def timed(name, fn, data, x0, bytes_=0, flops=0):
         def step(c, _):
             xm = x * (1.0 + 1e-30 * c)
             out = fn(data, xm)
-            return out.reshape(-1)[:8].astype(jnp.float32).sum(), None
+            return out.astype(jnp.float32).sum() * 1e-20, None
 
         o, _ = jax.lax.scan(step, jnp.float32(0.0), None, length=CHAIN)
         return o

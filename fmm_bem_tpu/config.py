@@ -124,6 +124,15 @@ class SolverConfig:
     #: ``calibrated()`` installs it here; None keeps the 2^-p default.
     eps_c: Optional[float] = None
     eps_gamma: Optional[float] = None
+    #: quantise the relaxed schedule UP to these orders (e.g. (3, 5,
+    #: 10)).  TPU-motivated: the measured matvec cost is nearly flat in
+    #: p (the cached near field is p-independent and low-p M2L is
+    #: latency-bound — 1.09 ms at p=1 vs 1.88 ms at p=10 on 32k
+    #: panels), so paying one or two extra orders costs almost nothing,
+    #: while every DISTINCT order in the schedule is a separate
+    #: compiled solver tier and a host<->device switch.  None keeps the
+    #: reference's fully continuous schedule (SolverOptions.hpp:25-38).
+    p_tiers: Optional[tuple] = None
 
     def _p_for_nu(self, nu: float) -> int:
         """Smallest order whose matvec error model is below ``nu``."""
@@ -178,4 +187,16 @@ class SolverConfig:
         """
         if p_fixed is not None or not self.variable_p:
             return p_fixed if p_fixed is not None else self.max_p
-        return max(1, self.p_min, self.predict_p(resid))
+        p = max(1, self.p_min, self.predict_p(resid))
+        return self.quantize_p(p)
+
+    def quantize_p(self, p: int) -> int:
+        """Round ``p`` up to the nearest entry of ``p_tiers``; above the
+        largest tier, clamp to it (the tier list defines the available
+        solver tiers).  No-op when unset."""
+        if not self.p_tiers:
+            return p
+        for t in sorted(self.p_tiers):
+            if p <= t:
+                return min(t, self.max_p)
+        return min(max(self.p_tiers), self.max_p)

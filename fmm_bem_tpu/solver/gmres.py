@@ -366,7 +366,15 @@ def _device_predict_p(resid, cfg):
     # floor at p_min to mirror SolverConfig.schedule_p (the reference's
     # Stokes relaxation floor, GMRES_Stokes.hpp:229) — the tier-exit
     # condition must agree with the host schedule or a tier could spin
-    return jnp.clip(p, max(1, cfg.p_min), cfg.max_p).astype(jnp.int32)
+    p = jnp.clip(p, max(1, cfg.p_min), cfg.max_p).astype(jnp.int32)
+    if cfg.p_tiers:
+        # quantise UP to the configured tiers, matching
+        # SolverConfig.quantize_p
+        q = jnp.asarray(min(max(cfg.p_tiers), cfg.max_p), jnp.int32)
+        for t in sorted(cfg.p_tiers, reverse=True):
+            q = jnp.where(p <= t, min(t, cfg.max_p), q)
+        p = q
+    return p
 
 
 def gmres_device(

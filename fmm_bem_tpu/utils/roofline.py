@@ -155,46 +155,57 @@ def phase_breakdown(plan, p, q=None, chain=20, iters=3):
             .set(contrib.reshape(nl, K, cW).sum(axis=1))
         )
 
-    def prefix_fn(k):
-        # plan data flows through ARGUMENTS: closure capture would
-        # embed it as compile-time constants, which the tunneled
-        # remote-compile path rejects (HTTP 413) and AOT caching hates
+    # ---- DIRECT per-phase timing: each phase runs in its own chained
+    # scan on a realistic materialised input (no prefix differencing —
+    # that attribution was noisy to the point of negative timings and
+    # cross-prefix compilation artifacts).  Phase inputs M and L are
+    # built once by small jits; every chain step consumes the FULL
+    # phase output through ``mix`` so XLA cannot dead-code the work.
+    def _p2m_full(d_, aux_, sf_, x):
+        if slot_ops is not None:
+            return _p2m_slots(d_, aux_, x)
+        return plan._phase_p2m(d_, aux_, sf_, x[d_["s_perm"]], p)
+
+    def _l2p_full(d_, aux_, sf_, L):
+        if slot_ops is not None:
+            return plan._l2p_slots(d_, aux_, L, p)
+        return plan._phase_l2p(d_, aux_, sf_, L, p)
+
+    def _near_full(d_, aux_, sf_, x):
+        if slot_ops is not None:
+            return plan._near_pass_slots(aux_["panels"], x)
+        return plan._near_pass(d_, aux_["panels"], sf_, x[d_["s_perm"]])
+
+    mkM0 = jax.jit(_p2m_full)
+    M0 = mkM0(d, aux, sf, qm0)
+    mkM = jax.jit(lambda d_, M_: plan._phase_m2m(d_, M_))
+    M = mkM(d, M0)
+    mkLr = jax.jit(lambda d_, M_: plan._phase_m2l(d_, M_, p))
+    Lr = mkLr(d, M)
+    phases = [
+        ("p2m", _p2m_full, qm0),
+        ("m2m", lambda d_, aux_, sf_, M_: plan._phase_m2m(d_, M_), M0),
+        ("m2l", lambda d_, aux_, sf_, M_: plan._phase_m2l(d_, M_, p), M),
+        ("l2l", lambda d_, aux_, sf_, L_: plan._phase_l2l(d_, L_), Lr),
+        ("l2p", _l2p_full, Lr),
+    ]
+    if "panels" in aux:
+        phases.append(("near", _near_full, qm0))
+
+    def timed_phase(fn, x0):
         def run_(d_, aux_, sf_, x):
             def step(x, _):
-                if slot_ops is not None:
-                    M = _p2m_slots(d_, aux_, x)
-                else:
-                    qm = x[d_["s_perm"]]
-                    M = plan._phase_p2m(d_, aux_, sf_, qm, p)
-                out = M
-                if k >= 1:
-                    M = plan._phase_m2m(d_, M)
-                    out = M
-                if k >= 2:
-                    L = plan._phase_m2l(d_, M, p)
-                    out = L
-                if k >= 3:
-                    L = plan._phase_l2l(d_, L)
-                    out = L
-                if k >= 4:
-                    out = (
-                        plan._l2p_slots(d_, aux_, L, p)
-                        if slot_ops is not None
-                        else plan._phase_l2p(d_, aux_, sf_, L, p)
-                    )
-                if k >= 5 and "panels" in aux_:
-                    out = out + (
-                        plan._near_pass_slots(aux_["panels"], x)
-                        if slot_ops is not None
-                        else plan._near_pass(d_, aux_["panels"], sf_, qm)
-                    )
-                return mix(x, out), None
+                return mix(x, fn(d_, aux_, sf_, x)), None
 
             y, _ = jax.lax.scan(step, x, None, length=chain)
             return y
 
         run = jax.jit(run_)
-        return lambda x: run(d, aux, sf, x)
+        np.asarray(run(d, aux, sf, x0))  # compile
+        t0 = time.time()
+        for _ in range(iters):
+            np.asarray(run(d, aux, sf, x0))
+        return max((time.time() - t0) / iters - t_base, 1e-9) / chain
 
     @jax.jit
     def ident(x):
@@ -206,34 +217,16 @@ def phase_breakdown(plan, p, q=None, chain=20, iters=3):
         np.asarray(ident(qm0))
     t_base = (time.time() - t0) / iters
 
-    nph = 6 if "panels" in aux else 5
-    times = []
-    for k in range(nph):
-        f = prefix_fn(k)
-        np.asarray(f(qm0))  # compile
-        t0 = time.time()
-        for _ in range(iters):
-            np.asarray(f(qm0))
-        times.append(
-            max((time.time() - t0) / iters - t_base, 1e-9) / chain
-        )
-
-    names = ["p2m", "m2m", "m2l", "l2l", "l2p", "near"][:nph]
     model = _flop_byte_model(plan, p)
     peaks = chip_peaks()
-    # prefix-difference timings are noisy for sub-resolution phases: a
-    # later prefix can even measure *faster* than a shorter one.  Flag
-    # anything below the timer floor instead of reporting absurd rates.
-    floor = 50e-6  # 50 us per chained step
+    floor = 20e-6  # per chained step: below this the number is noise
     out = {}
-    prev = 0.0
-    for k, name in enumerate(names):
-        dt_k = times[k] - prev
-        prev = times[k]
+    total = 0.0
+    for name, fn, x0 in phases:
+        dt_k = timed_phase(fn, x0)
+        total += dt_k
         flops, bytes_ = model.get(name, (0.0, 0.0))
         if dt_k < floor:
-            # prefix-difference noise can drive dt_k negative; clamp so
-            # downstream consumers never see an absurd timing
             out[name] = {
                 "ms": round(max(dt_k, 0.0) * 1e3, 4),
                 "below_timer_floor": True,
@@ -249,5 +242,5 @@ def phase_breakdown(plan, p, q=None, chain=20, iters=3):
             r["pct_mxu"] = 100.0 * (flops / dt_k) / f32_peak
             r["pct_hbm"] = 100.0 * (bytes_ / dt_k) / hbm
         out[name] = r
-    out["total"] = {"ms": times[-1] * 1e3}
+    out["total"] = {"ms": total * 1e3, "sum_of_phases": True}
     return out

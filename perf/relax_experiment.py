@@ -118,6 +118,11 @@ def main():
         run("relaxed Bouras p_min=3",
             SolverConfig(**base, p_min=3, variable_p=True), None),
     ]
+    results.append(
+        run("relaxed tiers (3,5,10)",
+            SolverConfig(**base, p_min=1, variable_p=True,
+                         p_tiers=(3, 5, MAX_P)), None)
+    )
     if calib[0] is not None:
         scfg = SolverConfig(**base, p_min=1, variable_p=True)
         scfg = scfg.calibrated(plan)

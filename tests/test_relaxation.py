@@ -133,3 +133,25 @@ def test_calibrated_schedule_orders_sane(small_plan):
         ),
     )
     assert info.converged
+
+
+def test_p_tier_quantization():
+    from fmm_bem_tpu.config import SolverConfig
+
+    cfg = SolverConfig(max_p=10, p_min=1, p_tiers=(3, 5, 10))
+    assert cfg.quantize_p(1) == 3
+    assert cfg.quantize_p(3) == 3
+    assert cfg.quantize_p(4) == 5
+    assert cfg.quantize_p(6) == 10
+    assert cfg.quantize_p(12) == 10
+    # schedule_p routes through the quantiser
+    assert cfg.schedule_p(1.0) in (3, 5, 10)
+    # device replica agrees with the host quantiser
+    import jax.numpy as jnp
+
+    from fmm_bem_tpu.solver.gmres import _device_predict_p
+
+    for resid in (1.0, 1e-2, 1e-4, 1e-6):
+        host = cfg.schedule_p(resid)
+        dev = int(_device_predict_p(jnp.float64(resid), cfg))
+        assert host == dev, (resid, host, dev)

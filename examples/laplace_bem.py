@@ -35,7 +35,16 @@ def main():
     ap.add_argument("-fixed_p", action="store_true")
     ap.add_argument("-calibrate", action="store_true",
                     help="fit eps(p) on this plan and use it for the "
-                    "relaxation schedule instead of the 2^-p model")
+                    "relaxation schedule instead of the 2^-p model. "
+                    "Helps when geometry makes 2^-p wrong (e.g. the "
+                    "anisotropic RBC, results/RELAX_TPU.md); on smooth "
+                    "spheres the default model is already right and "
+                    "calibration only costs probe matvecs")
+    ap.add_argument("-p_tiers", default="auto",
+                    help="comma-separated orders quantising the relaxed "
+                    "schedule (the measured-fastest relaxed mode on "
+                    "TPU); 'auto' = 3,5,max_p; 'none' = the reference's "
+                    "continuous schedule")
     # ref scalar GMRES floors the relaxed order at 1 (GMRES.hpp:195);
     # the Stokes driver floors at SolverOptions::p_min instead
     ap.add_argument("-pmin", type=int, default=1)
@@ -104,6 +113,15 @@ def main():
         diag = np.where(np.asarray(fields["bc"]) == 0.0, G, dG)
         M = pc.diagonal(diag)
 
+    from fmm_bem_tpu.config import default_p_tiers
+
+    tiers = None
+    if not args.fixed_p and args.p_tiers != "none":
+        tiers = (
+            default_p_tiers(max_p)
+            if args.p_tiers == "auto"
+            else tuple(int(t) for t in args.p_tiers.split(","))
+        )
     scfg = SolverConfig(
         residual=args.solver_tol,
         max_iters=args.max_iters,
@@ -111,6 +129,7 @@ def main():
         max_p=max_p,
         p_min=args.pmin,
         variable_p=not args.fixed_p,
+        p_tiers=tiers,
     )
     if args.calibrate and not args.fixed_p:
         scfg = scfg.calibrated(plan)

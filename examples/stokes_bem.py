@@ -37,6 +37,11 @@ def main():
                     help="measure the matvec truncation-error decay on "
                     "this plan and drive the relaxation schedule with "
                     "the fitted eps(p) model instead of 2^-p")
+    ap.add_argument("-p_tiers", default="auto",
+                    help="comma-separated orders quantising the relaxed "
+                    "schedule (the measured-fastest relaxed mode on "
+                    "TPU); 'auto' = 3,5,p; 'none' = the reference's "
+                    "continuous schedule")
     ap.add_argument("-fgmres", action="store_true")
     # inner-outer FMGMRES: inner relaxed GMRES on the same plan as the
     # right preconditioner (ref examples/BEM/fmgmres.hpp)
@@ -110,6 +115,15 @@ def main():
         print(f"rhs error: {rhs_err:.4e}")
         b = np.tile([4 * np.pi, 0.0, 0.0], (n, 1))  # ref StokesBEM.cpp:276
 
+    from fmm_bem_tpu.config import default_p_tiers
+
+    tiers = None
+    if not args.fixed_p and args.p_tiers != "none":
+        tiers = (
+            default_p_tiers(args.p)
+            if args.p_tiers == "auto"
+            else tuple(int(t) for t in args.p_tiers.split(","))
+        )
     scfg = SolverConfig(
         residual=args.solver_tol,
         max_iters=args.max_iters,
@@ -117,6 +131,7 @@ def main():
         max_p=args.p,
         p_min=args.pmin,
         variable_p=not args.fixed_p,
+        p_tiers=tiers,
     )
     if args.calibrate and not args.fixed_p:
         t0 = time.time()

@@ -28,6 +28,9 @@ def main():
     ap.add_argument("-solver_tol", type=float, default=1e-5)
     ap.add_argument("-max_iters", type=int, default=500)
     ap.add_argument("-fixed_p", action="store_true")
+    ap.add_argument("-p_tiers", default="auto",
+                    help="'auto' = 3,5,max_p tier quantisation of the "
+                    "relaxed schedule; 'none' = continuous")
     ap.add_argument("-dtype", default="float64")
     ap.add_argument("-cpu", action="store_true", help="force host platform")
     args = ap.parse_args()
@@ -66,12 +69,22 @@ def main():
     phi = np.ones(n)
     b = np.asarray(plan.apply_flipped_bc(phi, p=cfg.max_p)[:, 0])
 
+    from fmm_bem_tpu.config import default_p_tiers
+
+    tiers = None
+    if not args.fixed_p and args.p_tiers != "none":
+        tiers = (
+            default_p_tiers(cfg.max_p)
+            if args.p_tiers == "auto"
+            else tuple(int(t) for t in args.p_tiers.split(","))
+        )
     scfg = SolverConfig(
         residual=args.solver_tol,
         max_iters=args.max_iters,
         restart=args.max_iters,
         max_p=cfg.max_p,
         variable_p=not args.fixed_p,
+        p_tiers=tiers,
     )
     t0 = time.time()
     x, info = gmres(

@@ -133,19 +133,28 @@ class SolverConfig:
     #: compiled solver tier and a host<->device switch.  None keeps the
     #: reference's fully continuous schedule (SolverOptions.hpp:25-38).
     p_tiers: Optional[tuple] = None
+    #: smallest order the calibration actually probed.  The fitted
+    #: gamma is only evidence INSIDE the probed range — extrapolating
+    #: it below cost 17 stalled p=1 iterations on the 32k sphere
+    #: (results/RELAX_TPU.md round 3), because the fit over p >= 4
+    #: underestimates the true p=1 truncation error.  Calibrated
+    #: predictions are clamped to >= this order; None (uncalibrated
+    #: 2^-p model) keeps the reference's unfloored schedule.
+    eps_p_lo: Optional[int] = None
 
     def _p_for_nu(self, nu: float) -> int:
         """Smallest order whose matvec error model is below ``nu``."""
         if nu <= 0.0:
             return self.max_p
         if self.eps_c is not None and self.eps_gamma is not None:
+            lo = self.eps_p_lo or 1
             if nu >= self.eps_c:
-                return 1
+                return min(lo, self.max_p)
             # eps_c * gamma^p <= nu  (0 < gamma < 1)
             p = math.ceil(
                 math.log(nu / self.eps_c) / math.log(self.eps_gamma)
             )
-            return min(max(int(p), 1), self.max_p)
+            return min(max(int(p), 1, lo), self.max_p)
         if nu >= 1.0:
             return 1
         return min(int(math.ceil(-math.log2(nu))), self.max_p)
@@ -170,11 +179,22 @@ class SolverConfig:
         """Copy of this config with the eps(p) model measured on ``plan``
         (FmmPlan.calibrate_eps).  If truncation is indistinguishable on
         the plan (calibrate_eps returns (None, None)) the 2^-p default
-        is kept."""
+        is kept.  The smallest probed order becomes ``eps_p_lo`` — the
+        model is never extrapolated below its evidence."""
         c, gamma = plan.calibrate_eps(q=q, ps=ps)
-        return dataclasses.replace(self, eps_c=c, eps_gamma=gamma)
+        lo = None
+        if c is not None and getattr(plan, "eps_samples", None):
+            lo = min(plan.eps_samples)
+        return dataclasses.replace(
+            self, eps_c=c, eps_gamma=gamma, eps_p_lo=lo
+        )
 
-    def schedule_p(self, resid: float, p_fixed: Optional[int] = None) -> int:
+    def schedule_p(
+        self,
+        resid: float,
+        p_fixed: Optional[int] = None,
+        boost: int = 0,
+    ) -> int:
         """The per-iteration order: fixed, or relaxed from the residual.
 
         The relaxed order is floored at ``p_min`` — the reference's
@@ -184,10 +204,16 @@ class SolverConfig:
         inexact to keep the Krylov recurrence meaningful.  Drivers that
         want the reference scalar-GMRES behaviour (``max(1, predict_p)``,
         GMRES.hpp:195) pass ``p_min=1``.
+
+        ``boost`` is the solver's stall-guard increment.  It is applied
+        BEFORE tier quantisation so a boosted order still lands on a
+        configured ``p_tiers`` entry — a boost minting an order outside
+        the tier set would trigger an unplanned tier compile mid-solve.
         """
         if p_fixed is not None or not self.variable_p:
             return p_fixed if p_fixed is not None else self.max_p
         p = max(1, self.p_min, self.predict_p(resid))
+        p = min(p + boost, self.max_p)
         return self.quantize_p(p)
 
     def quantize_p(self, p: int) -> int:
@@ -200,3 +226,16 @@ class SolverConfig:
             if p <= t:
                 return min(t, self.max_p)
         return min(max(self.p_tiers), self.max_p)
+
+
+def default_p_tiers(max_p: int) -> tuple:
+    """Recommended relaxed-schedule quantisation for TPU runs.
+
+    The measured-fastest relaxed mode on TPU (results/RELAX_TPU.md:
+    0.62 s tiers vs 0.91 s continuous on the 32k first-kind sphere):
+    the matvec cost is nearly flat in p (cached near field is
+    p-independent), so paying an order or two extra costs almost
+    nothing, while every DISTINCT order is a separate compiled tier.
+    Three tiers ending at ``max_p`` cover the whole Bouras schedule.
+    """
+    return tuple(sorted({t for t in (3, 5) if t < max_p} | {max_p}))

@@ -6,19 +6,24 @@ matrix and replays ``results += A @ charges`` every GMRES iteration
 pathological on TPU — per-entry gather + scatter-add runs at scalar
 speed (measured ~40x slower than streaming the same bytes densely).
 
-TPU-native layout instead: for every *target leaf*, concatenate the
-dense interaction blocks against each of its near-field source leaves
-into one row-panel
+TPU-native layout (round 4, uniform chunks): every target leaf's near
+field is a row of dense interaction blocks against its m near-field
+source leaves.  Those rows are packed into fixed-width CHUNKS of m0
+source leaves each —
 
-    A_leaf  [KT*rdim,  m * KS*cdim]          (m = #near source leaves)
+    A  [C, KT*rdim, m0 * KS*cdim]      (C = sum_l ceil(m_l / m0))
 
-so a leaf's entire near field is ONE dense matrix-vector product whose
-contraction axis is the hardware lane dimension (hundreds to thousands
-wide — perfectly tiled), not the 30-wide unaligned axis a per-pair
-block layout would give.  Leaves are bucketed by m to bound padding
-waste; each bucket is evaluated by a Pallas kernel streaming panel
-tiles HBM->VMEM with a broadcast-multiply + lane reduction (the matvec
-is bandwidth-bound: the panel bytes are touched exactly once).
+so the whole near field is ONE uniformly-shaped batched matvec: a
+single Pallas kernel streams the panel tiles HBM->VMEM with a
+broadcast-multiply + lane reduction (the matvec is bandwidth-bound:
+the panel bytes are touched exactly once), and a sorted segment-sum
+combines each leaf's chunks.  Earlier rounds bucketed leaves by m into
+~10 Pallas calls of different widths; the per-call launches, the
+per-bucket charge gathers, and the giant unpipelined blocks of the
+wide buckets held the stream at ~60% of HBM peak.  One kernel with one
+modest block shape pipelines uniformly.
+
+``m0`` is chosen per plan to minimise padded bytes (see choose_m0).
 
 Supports scalar entries (Laplace/Yukawa BEM: rdim = cdim = 1) and
 matrix entries (Stokes BEM: 3x3 blocks) by expanding to DOF-level
@@ -33,20 +38,59 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-#: bucket upper edges for #near-source-leaves per target leaf
-DEFAULT_EDGES = (4, 8, 16, 24, 32, 48, 64, 96, 160, 256)
-#: leaves per Pallas grid step
+#: legacy alias kept for external probes/tests; the kernel's row-tile
+#: size is now chosen per shape (see _block_rows)
 LEAF_TILE = 8
+
+#: candidate chunk widths (source leaves per chunk)
+M0_CANDIDATES = (2, 4, 6, 8, 12, 16, 24, 32)
+
+
+def choose_m0(m_per, KSc, candidates=M0_CANDIDATES):
+    """Chunk width minimising total padded panel bytes.
+
+    Cost of width m0: sum_l ceil(m_l/m0) chunks, each storing
+    roundup(m0*KSc, 128) lanes (the f32 lane tile).  Ties prefer the
+    larger width (fewer rows -> fewer segment-sum terms).
+    """
+    m_per = np.asarray(m_per)
+    m_per = m_per[m_per > 0]
+    if len(m_per) == 0:
+        return candidates[0]
+    best, best_cost = None, None
+    for m0 in candidates:
+        lanes = -(-m0 * KSc // 128) * 128
+        cost = int((-(-m_per // m0)).sum()) * lanes
+        if best_cost is None or cost < best_cost or (
+            cost == best_cost and m0 > best
+        ):
+            best, best_cost = m0, cost
+    return best
+
+
+def _block_rows(KTr, Lb, target_bytes=2 << 20):
+    """Rows per Pallas grid step: ~2 MB blocks pipeline smoothly
+    (double-buffered) without pressuring VMEM."""
+    row_bytes = KTr * Lb * 4
+    bl = max(1, target_bytes // max(row_bytes, 1))
+    # power of two, capped
+    bl = 1 << (int(bl).bit_length() - 1)
+    return int(min(bl, 256))
 
 
 @dataclasses.dataclass
 class NearPanels:
-    """Host-side panel structure; ``device()`` uploads the arrays."""
+    """Host-side chunk structure; ``device()`` uploads the arrays."""
 
-    #: per bucket: (A [nl_b, KTr, Lb], pair_idx [nl_b, m_b])
-    buckets: list
-    #: concat-row -> leaf-slot inverse permutation [nl_t]
-    inv_order: np.ndarray
+    #: [C, KTr, Lb] chunk panels (None when assembled on device)
+    A: object
+    #: [C, m0] source-leaf slot per chunk column group (dummy = nl_src)
+    pidx: np.ndarray
+    #: [C] local target-leaf index per chunk (dummy = nl_t)
+    chunk_tgt: np.ndarray
+    nl_t: int
+    m0: int
+    block_rows: int
     npairs: int
     rdim: int
     cdim: int
@@ -56,14 +100,63 @@ class NearPanels:
     def device(self, dtype):
         dt = jnp.dtype(dtype)
         return {
-            "A": tuple(jnp.asarray(A, dt) for A, _ in self.buckets),
-            "pidx": tuple(jnp.asarray(pi) for _, pi in self.buckets),
-            "inv_order": jnp.asarray(self.inv_order),
+            "A": jnp.asarray(self.A, dt),
+            "pidx": jnp.asarray(self.pidx),
+            "chunk_tgt": jnp.asarray(self.chunk_tgt),
         }
 
     @property
     def nbytes(self):
-        return sum(A.nbytes for A, _ in self.buckets)
+        return 0 if self.A is None else self.A.nbytes
+
+
+def _sorted_pairs(pair_src_slot, pair_tgt_slot, tgt_slot_local,
+                  src_slot_local, nl_t):
+    """Sort pairs by (target slot, source slot) and build the per-leaf
+    row pointer (target-contiguous panels + strictly increasing pair
+    keys for entry searchsorted)."""
+    pair_tgt_slot = np.asarray(pair_tgt_slot)
+    pair_src_slot = np.asarray(pair_src_slot)
+    po = np.lexsort((pair_src_slot, pair_tgt_slot))
+    ts = pair_tgt_slot[po]
+    ss = pair_src_slot[po]
+    # bucket rows by the (local) target index; a monotone local map
+    # preserves the sort order above
+    ts_b = ts if tgt_slot_local is None else tgt_slot_local[ts]
+    ss_l = ss if src_slot_local is None else src_slot_local[ss]
+    row_ptr = np.searchsorted(ts_b, np.arange(nl_t + 1))
+    return ts, ss, ss_l, row_ptr
+
+
+def _chunk_layout(row_ptr, m0, npairs, ss_l, nl_src, nl_t, bl):
+    """Vectorised chunk bookkeeping.
+
+    Returns (pair_ids [Cpad, m0] with dummy = npairs,
+             pidx [Cpad, m0] with dummy = nl_src,
+             chunk_tgt [Cpad] with dummy = nl_t).
+    """
+    m_per = np.diff(row_ptr)
+    nchunk = -(-m_per // m0)  # ceil
+    C = int(nchunk.sum())
+    Cpad = max(-(-max(C, 1) // bl) * bl, bl)
+    pair_ids = np.full((Cpad, m0), npairs, np.int32)
+    pidx = np.full((Cpad, m0), nl_src, np.int32)
+    chunk_tgt = np.full(Cpad, nl_t, np.int32)
+    if C:
+        l_of_c = np.repeat(np.arange(nl_t), nchunk)
+        cum = np.concatenate([[0], np.cumsum(nchunk)])
+        j_of_c = np.arange(C) - cum[l_of_c]
+        starts = row_ptr[l_of_c] + j_of_c * m0
+        counts = np.minimum(row_ptr[l_of_c + 1] - starts, m0)
+        k = np.arange(m0)
+        pid = starts[:, None] + k[None, :]
+        valid = k[None, :] < counts[:, None]
+        pair_ids[:C] = np.where(valid, pid, npairs)
+        pidx[:C] = np.where(
+            valid, ss_l[np.clip(pid, 0, max(npairs - 1, 0))], nl_src
+        )
+        chunk_tgt[:C] = l_of_c
+    return pair_ids, pidx, chunk_tgt
 
 
 def build_near_panels(
@@ -75,13 +168,13 @@ def build_near_panels(
     src_side,
     tgt_side,
     nl_t,
-    edges=DEFAULT_EDGES,
+    m0=None,
     dtype=np.float32,
     tgt_slot_local=None,
     src_slot_local=None,
     nl_src_local=None,
 ):
-    """Assemble bucketed leaf panels from COO near-field entries.
+    """Assemble uniform chunk panels from COO near-field entries.
 
     Parameters
     ----------
@@ -90,8 +183,10 @@ def build_near_panels(
     vals : [nnz] scalar or [nnz, rdim, cdim] matrix entry values,
         already BC-selected for the operator variant.
     src_side / tgt_side : plan _TreeSide objects (leaf tiles).
+    m0 : chunk width override (multi-device builds pass a global value
+        so per-device panels stack to one shape).
     tgt_slot_local / src_slot_local : optional monotone global->local
-        slot maps (LET sharding: bucket rows / charge-table columns are
+        slot maps (LET sharding: chunk rows / charge-table columns are
         indexed in a device-local numbering while entry bookkeeping
         stays global).  ``nl_t`` then counts LOCAL target leaves and
         ``nl_src_local`` sizes the local charge table.
@@ -106,20 +201,11 @@ def build_near_panels(
     KT, KS = tgt_side.leaf_pad, src_side.leaf_pad
     KTr, KSc = KT * rdim, KS * cdim
 
-    # sort pairs by (target slot, source slot): target-contiguous panels
-    # + strictly increasing pair keys for the entry searchsorted below
-    pair_tgt_slot = np.asarray(pair_tgt_slot)
-    pair_src_slot = np.asarray(pair_src_slot)
-    po = np.lexsort((pair_src_slot, pair_tgt_slot))
-    ts = pair_tgt_slot[po]
-    ss = pair_src_slot[po]
+    ts, ss, ss_l, row_ptr = _sorted_pairs(
+        pair_src_slot, pair_tgt_slot, tgt_slot_local, src_slot_local,
+        nl_t,
+    )
     npairs = len(ts)
-    # bucket rows by the (local) target index; a monotone local map
-    # preserves the sort order above
-    ts_b = ts if tgt_slot_local is None else tgt_slot_local[ts]
-    ss_l = ss if src_slot_local is None else src_slot_local[ss]
-    row_ptr = np.searchsorted(ts_b, np.arange(nl_t + 1))
-    m_per = np.diff(row_ptr)
 
     # entry -> (pair, in-block position)
     st_leaf = src_side.tree.body_leaf
@@ -153,55 +239,34 @@ def build_near_panels(
             for j in range(cdim):
                 blocks[pidx_e, rr + i, cc + j] = vals3[:, i, j]
 
-    # bucket target leaves by m
-    edges = [e for e in edges if e <= max(int(m_per.max(initial=1)), 1)]
-    if not edges or edges[-1] < m_per.max(initial=0):
-        edges = list(edges) + [int(m_per.max(initial=1))]
-    buckets, order = [], []
-    lo = 0
-    for hi in edges:
-        sel = np.where((m_per > lo) & (m_per <= hi))[0]
-        lo = hi
-        if len(sel) == 0:
-            continue
-        m_b = hi
-        nl_b = -(-len(sel) // LEAF_TILE) * LEAF_TILE  # pad to tile
-        # pad the lane dim to the f32 lane tile so Mosaic never relayouts
-        Lb = -(-m_b * KSc // 128) * 128
-        A = np.zeros((nl_b, KTr, Lb), dtype)
-        # source-leaf slot per panel column group; dummy = nl_src (a
-        # zero charge row appended by panel_matvec)
-        nl_src = (
-            len(src_side.leaf_ids) if nl_src_local is None else nl_src_local
-        )
-        pidx = np.full((nl_b, m_b), nl_src, np.int32)
-        for k, l in enumerate(sel):
-            p0, p1 = row_ptr[l], row_ptr[l + 1]
-            m = p1 - p0
-            A[k, :, : m * KSc] = (
-                blocks[p0:p1].transpose(1, 0, 2).reshape(KTr, m * KSc)
-            )
-            pidx[k, :m] = ss_l[p0:p1]
-        buckets.append((A, pidx))
-        order.append(sel)
+    if m0 is None:
+        m0 = choose_m0(np.diff(row_ptr), KSc)
+    Lb = -(-m0 * KSc // 128) * 128
+    bl = _block_rows(KTr, Lb)
+    nl_src = (
+        len(src_side.leaf_ids) if nl_src_local is None else nl_src_local
+    )
+    pair_ids, pidx, chunk_tgt = _chunk_layout(
+        row_ptr, m0, npairs, ss_l, nl_src, nl_t, bl
+    )
 
-    if order:
-        order = np.concatenate(
-            [
-                np.concatenate([sel, np.full(len(b[0]) - len(sel), nl_t)])
-                for sel, b in zip(order, buckets)
-            ]
-        )
-    else:
-        order = np.zeros(0, np.int64)
-    # inverse: leaf slot -> row in the concatenated bucket output;
-    # leaves with no near pairs point at the appended zero row
-    inv_order = np.full(nl_t, len(order), np.int32)
-    valid = order < nl_t
-    inv_order[order[valid]] = np.arange(len(order), dtype=np.int32)[valid]
+    blocks_z = np.concatenate(
+        [blocks, np.zeros((1, KTr, KSc), dtype)], axis=0
+    )
+    Cpad = pair_ids.shape[0]
+    A = np.zeros((Cpad, KTr, Lb), dtype)
+    A[:, :, : m0 * KSc] = (
+        blocks_z[pair_ids]
+        .transpose(0, 2, 1, 3)
+        .reshape(Cpad, KTr, m0 * KSc)
+    )
     return NearPanels(
-        buckets=buckets,
-        inv_order=inv_order,
+        A=A,
+        pidx=pidx,
+        chunk_tgt=chunk_tgt,
+        nl_t=nl_t,
+        m0=m0,
+        block_rows=bl,
         npairs=npairs,
         rdim=rdim,
         cdim=cdim,
@@ -220,14 +285,14 @@ def build_near_panels_on_device(
     corr=None,
     rdim=1,
     cdim=1,
-    edges=DEFAULT_EDGES,
+    m0=None,
     dtype=jnp.float32,
     jit_cache=None,
     tgt_slot_local=None,
     src_slot_local=None,
     nl_src_local=None,
 ):
-    """Assemble bucketed leaf panels with the interaction blocks
+    """Assemble uniform chunk panels with the interaction blocks
     computed ON the accelerator.
 
     The regular K-point quadrature entries (the overwhelming bulk) are
@@ -251,18 +316,11 @@ def build_near_panels_on_device(
 
     KT, KS = tgt_side.leaf_pad, src_side.leaf_pad
     KTr, KSc = KT * rdim, KS * cdim
-    pair_tgt_slot = np.asarray(pair_tgt_slot)
-    pair_src_slot = np.asarray(pair_src_slot)
-    po = np.lexsort((pair_src_slot, pair_tgt_slot))
-    ts = pair_tgt_slot[po]
-    ss = pair_src_slot[po]
+    ts, ss, ss_l, row_ptr = _sorted_pairs(
+        pair_src_slot, pair_tgt_slot, tgt_slot_local, src_slot_local,
+        nl_t,
+    )
     npairs = len(ts)
-    # LET sharding: bucket by local target index, column-index the local
-    # charge table (see build_near_panels); entry keys stay global
-    ts_b = ts if tgt_slot_local is None else tgt_slot_local[ts]
-    ss_l = ss if src_slot_local is None else src_slot_local[ss]
-    row_ptr = np.searchsorted(ts_b, np.arange(nl_t + 1))
-    m_per = np.diff(row_ptr)
     nl_src = (
         len(src_side.leaf_ids) if nl_src_local is None else nl_src_local
     )
@@ -299,34 +357,18 @@ def build_near_panels_on_device(
         corr_idx = np.zeros(0, np.int64)
         corr_vals = np.zeros(0)
 
-    # host: bucket structure
-    mmax = int(m_per.max(initial=1))
-    edges = [e for e in edges if e <= mmax]
-    if not edges or edges[-1] < m_per.max(initial=0):
-        edges = list(edges) + [mmax]
-    bucket_pair_ids, bucket_slot_ids, order = [], [], []
-    lo = 0
-    for hi in edges:
-        sel = np.where((m_per > lo) & (m_per <= hi))[0]
-        lo = hi
-        if len(sel) == 0:
-            continue
-        m_b = hi
-        nl_b = -(-len(sel) // LEAF_TILE) * LEAF_TILE
-        pair_ids = np.full((nl_b, m_b), npairs, np.int32)
-        slot_ids = np.full((nl_b, m_b), nl_src, np.int32)
-        for k, l in enumerate(sel):
-            p0, p1 = row_ptr[l], row_ptr[l + 1]
-            m = p1 - p0
-            pair_ids[k, :m] = np.arange(p0, p1, dtype=np.int32)
-            slot_ids[k, :m] = ss_l[p0:p1]
-        bucket_pair_ids.append(pair_ids)
-        bucket_slot_ids.append(slot_ids)
-        order.append(sel)
+    if m0 is None:
+        m0 = choose_m0(np.diff(row_ptr), KSc)
+    Lb = -(-m0 * KSc // 128) * 128
+    bl = _block_rows(KTr, Lb)
+    pair_ids, pidx, chunk_tgt = _chunk_layout(
+        row_ptr, m0, npairs, ss_l, nl_src, nl_t, bl
+    )
+    Cpad = pair_ids.shape[0]
 
     # device stage 1 (plan-cached jit): quadrature blocks.
     # device stage 2 (jit cached across BC variants via ``jit_cache``):
-    # flat correction scatter + bucket gather/transpose/pad.  Eager
+    # flat correction scatter + one chunk gather/transpose/pad.  Eager
     # per-op dispatch over a remote backend costs seconds per op, and a
     # fresh jit per variant would recompile the whole assembly.
     def assemble(blocks, corr_idx_d, corr_vals_d, pair_ids_d):
@@ -336,22 +378,14 @@ def build_near_panels_on_device(
         blocks_z = jnp.concatenate(
             [blocks, jnp.zeros((1, KTr, KSc), blocks.dtype)], axis=0
         )
-        outs = []
-        for pair_ids in pair_ids_d:
-            m_b = pair_ids.shape[1]
-            Lb = -(-m_b * KSc // 128) * 128
-            blk = blocks_z[pair_ids]  # [nl_b, m_b, KTr, KSc]
-            A = blk.transpose(0, 2, 1, 3).reshape(
-                pair_ids.shape[0], KTr, m_b * KSc
-            )
-            if Lb > m_b * KSc:
-                A = jnp.pad(A, ((0, 0), (0, 0), (0, Lb - m_b * KSc)))
-            outs.append(A)
-        return tuple(outs)
+        blk = blocks_z[pair_ids_d]  # [Cpad, m0, KTr, KSc]
+        A = blk.transpose(0, 2, 1, 3).reshape(Cpad, KTr, m0 * KSc)
+        if Lb > m0 * KSc:
+            A = jnp.pad(A, ((0, 0), (0, 0), (0, Lb - m0 * KSc)))
+        return A
 
     dt = jnp.dtype(dtype)
-    key = ("assemble", npairs, KTr, KSc,
-           tuple(pi.shape for pi in bucket_pair_ids), len(corr_idx))
+    key = ("assemble", npairs, KTr, KSc, Cpad, m0, len(corr_idx))
     if jit_cache is None:
         jit_cache = {}
     if key not in jit_cache:
@@ -361,28 +395,16 @@ def build_near_panels_on_device(
         blocks,
         jnp.asarray(corr_idx),
         jnp.asarray(corr_vals, dt),
-        tuple(jnp.asarray(pi) for pi in bucket_pair_ids),
+        jnp.asarray(pair_ids),
     )
-    pidx_dev = [jnp.asarray(si) for si in bucket_slot_ids]
-
-    if order:
-        order = np.concatenate(
-            [
-                np.concatenate(
-                    [sel, np.full(len(pi) - len(sel), nl_t)]
-                )
-                for sel, pi in zip(order, bucket_slot_ids)
-            ]
-        )
-    else:
-        order = np.zeros(0, np.int64)
-    inv_order = np.full(nl_t, len(order), np.int32)
-    valid = order < nl_t
-    inv_order[order[valid]] = np.arange(len(order), dtype=np.int32)[valid]
 
     meta = NearPanels(
-        buckets=[(None, si) for si in bucket_slot_ids],
-        inv_order=inv_order,
+        A=None,
+        pidx=pidx,
+        chunk_tgt=chunk_tgt,
+        nl_t=nl_t,
+        m0=m0,
+        block_rows=bl,
         npairs=npairs,
         rdim=rdim,
         cdim=cdim,
@@ -390,9 +412,9 @@ def build_near_panels_on_device(
         KS=KS,
     )
     dev = {
-        "A": tuple(A_dev),
-        "pidx": tuple(pidx_dev),
-        "inv_order": jnp.asarray(inv_order),
+        "A": A_dev,
+        "pidx": jnp.asarray(pidx),
+        "chunk_tgt": jnp.asarray(chunk_tgt),
     }
     return dev, meta
 
@@ -401,21 +423,19 @@ def _contract_einsum(A, x):
     return jnp.einsum("lts,ls->lt", A, x)
 
 
-def _contract_pallas(A, x):
-    """out[l] = A[l] @ x[l] streamed in LEAF_TILE-leaf tiles."""
+def _contract_pallas(A, x, bl):
+    """out[c] = A[c] @ x[c] streamed in bl-chunk row tiles."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    nl_b, KTr, L = A.shape
-    bl = LEAF_TILE
-    grid = (nl_b // bl,)
+    C, KTr, L = A.shape
 
     def kern(a_ref, x_ref, o_ref):
         o_ref[:] = jnp.sum(a_ref[:] * x_ref[:][:, None, :], axis=2)
 
     return pl.pallas_call(
         kern,
-        grid=grid,
+        grid=(C // bl,),
         in_specs=[
             pl.BlockSpec(
                 (bl, KTr, L), lambda i: (i, 0, 0),
@@ -428,9 +448,9 @@ def _contract_pallas(A, x):
         out_specs=pl.BlockSpec(
             (bl, KTr), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((nl_b, KTr), A.dtype),
+        out_shape=jax.ShapeDtypeStruct((C, KTr), A.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * nl_b * KTr * L,
+            flops=2 * C * KTr * L,
             bytes_accessed=A.size * A.dtype.itemsize,
             transcendentals=0,
         ),
@@ -454,29 +474,30 @@ def panel_matvec(panels_dev, meta, ql, use_pallas=None):
 
     Parameters
     ----------
-    panels_dev : dict from NearPanels.device().
-    meta : the NearPanels (static bucket shapes).
+    panels_dev : dict from NearPanels.device() or the device builder.
+    meta : the NearPanels (static chunk shapes).
     ql : [nl_src, KS*cdim] masked per-source-leaf charge tiles.
-    Returns [nl_t_padded_rows, KT*rdim] leaf result tiles gathered back
-    to leaf-slot order.
+    Returns [nl_t, KT*rdim] leaf result tiles in leaf-slot order.
     """
     if use_pallas is None:
         use_pallas = _use_pallas(ql.dtype)
-    contract = _contract_pallas if use_pallas else _contract_einsum
+    A = panels_dev["A"]
+    pidx = panels_dev["pidx"]
+    chunk_tgt = panels_dev["chunk_tgt"]
+    C, KTr, Lb = A.shape
+    m0 = pidx.shape[1]
     KSc = meta.KS * meta.cdim
     xq = jnp.concatenate([ql, jnp.zeros((1, KSc), ql.dtype)], axis=0)
-    outs = []
-    for A, pidx in zip(panels_dev["A"], panels_dev["pidx"]):
-        m_b = pidx.shape[1]
-        xb = xq[pidx].reshape(pidx.shape[0], m_b * KSc)
-        Lb = A.shape[2]
-        if Lb > m_b * KSc:
-            xb = jnp.pad(xb, ((0, 0), (0, Lb - m_b * KSc)))
-        outs.append(contract(A, xb))
-    if not outs:
-        return None
-    KTr = meta.KT * meta.rdim
-    out = jnp.concatenate(
-        outs + [jnp.zeros((1, KTr), ql.dtype)], axis=0
+    xb = xq[pidx].reshape(C, m0 * KSc)
+    if Lb > m0 * KSc:
+        xb = jnp.pad(xb, ((0, 0), (0, Lb - m0 * KSc)))
+    if use_pallas:
+        out = _contract_pallas(A, xb, meta.block_rows)
+    else:
+        out = _contract_einsum(A, xb)
+    # chunks are leaf-sorted; dummies map to the dropped tail segment
+    seg = jax.ops.segment_sum(
+        out, chunk_tgt, num_segments=meta.nl_t + 1,
+        indices_are_sorted=True,
     )
-    return out[panels_dev["inv_order"]]
+    return seg[: meta.nl_t]

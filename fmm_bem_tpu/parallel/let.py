@@ -735,6 +735,17 @@ class LetPlan:
         )
         t_slot_of_body = plan.tgt.box_to_slot[plan.tgt.tree.body_leaf]
 
+        # one chunk width for ALL devices (panels stack to one shape);
+        # a target leaf belongs to exactly one device, so the global
+        # per-leaf pair counts are exactly the union of the per-device
+        # ones
+        from fmm_bem_tpu.ops.near_panel import choose_m0
+
+        m_per_global = np.bincount(
+            np.asarray(pp_t), minlength=len(plan.tgt.leaf_ids)
+        )
+        m0 = choose_m0(m_per_global, self.K * self.cdim)
+
         devs, metas = [], []
         for d in range(nd):
             psel = self.pair_dev == d
@@ -759,6 +770,7 @@ class LetPlan:
                     corr=(rows[esel], cols[esel], vsel[esel]),
                     rdim=self.rdim,
                     cdim=self.cdim,
+                    m0=m0,
                     dtype=self.dtype,
                     jit_cache=plan.__dict__.setdefault(
                         "_panel_jit_cache", {}
@@ -777,6 +789,7 @@ class LetPlan:
                     plan.src,
                     plan.tgt,
                     self.nl_max,
+                    m0=m0,
                     dtype=np.dtype(self.dtype),
                     tgt_slot_local=tgl,
                     src_slot_local=self.src_l2c[d].astype(np.int64),
@@ -786,56 +799,32 @@ class LetPlan:
             devs.append(dev)
             metas.append(meta)
 
-        # unify bucket shapes across devices and stack
-        nb = max(len(dv["A"]) for dv in devs)
-        A_stk, pidx_stk = [], []
-        for bi in range(nb):
-            As, Ps = [], []
-            for d in range(nd):
-                if bi < len(devs[d]["A"]):
-                    As.append(np.asarray(devs[d]["A"][bi]))
-                    Ps.append(np.asarray(devs[d]["pidx"][bi]))
-                else:
-                    KTr = self.K * self.rdim
-                    As.append(np.zeros((0, KTr, 0), self.dtype))
-                    Ps.append(
-                        np.zeros((0, 0), np.int32)
-                    )
-            A_stk.append(
-                jnp.asarray(_pad_stack(As, 0.0, np.dtype(self.dtype)))
+        # uniform chunk shape (same m0 everywhere): pad the chunk rows
+        # to the max device count and stack with a leading device axis.
+        # Dummy rows carry pidx = zero-charge column and chunk_tgt =
+        # nl_max (the dropped tail segment of the segment-sum).
+        A_stk = jnp.asarray(
+            _pad_stack(
+                [np.asarray(dv["A"]) for dv in devs],
+                0.0,
+                np.dtype(self.dtype),
             )
-            pidx_stk.append(
-                jnp.asarray(_pad_stack(Ps, self.n_ctab - 1, np.int32))
+        )
+        pidx_stk = jnp.asarray(
+            _pad_stack(
+                [np.asarray(dv["pidx"]) for dv in devs],
+                self.n_ctab - 1,
+                np.int32,
             )
-        # inv_order indexes the concatenated bucket rows; per-device
-        # offsets differ once shapes are padded -> recompute per device
-        inv = []
-        for d in range(nd):
-            # rebuild inv_order against the PADDED concat layout
-            off = 0
-            io = np.full(self.nl_max, -1, np.int64)
-            for bi in range(nb):
-                rows_b = A_stk[bi].shape[1]
-                if bi < len(devs[d]["A"]):
-                    io_d = np.asarray(devs[d]["inv_order"])
-                    # rows of this bucket in the ORIGINAL concat layout
-                    orig_off = sum(
-                        np.asarray(devs[d]["A"][bj]).shape[0]
-                        for bj in range(bi)
-                    )
-                    nrows_orig = np.asarray(devs[d]["A"][bi]).shape[0]
-                    sel = (io_d >= orig_off) & (
-                        io_d < orig_off + nrows_orig
-                    )
-                    io[np.where(sel)[0]] = io_d[sel] - orig_off + off
-                off += rows_b
-            io[io < 0] = off  # appended zero row
-            inv.append(io.astype(np.int32))
-        out = {
-            "A": tuple(A_stk),
-            "pidx": tuple(pidx_stk),
-            "inv_order": jnp.asarray(_pad_stack(inv, 0, np.int32)),
-        }
+        )
+        ct_stk = jnp.asarray(
+            _pad_stack(
+                [np.asarray(dv["chunk_tgt"]) for dv in devs],
+                self.nl_max,
+                np.int32,
+            )
+        )
+        out = {"A": A_stk, "pidx": pidx_stk, "chunk_tgt": ct_stk}
         meta0 = metas[0]
         self._near_variant_cache[key] = (out, meta0)
         if len(self._near_variant_cache) > 4:

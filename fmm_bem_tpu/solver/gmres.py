@@ -227,10 +227,10 @@ def gmres(
                 Vbuf = jnp.concatenate(
                     [Vbuf, jnp.zeros((grow, n), b.dtype)]
                 )
-            # ---- relaxation: predict p from current residual
-            p = cfg.schedule_p(resid, p_fixed)
-            if relaxed:
-                p = min(p + p_boost, cfg.max_p)
+            # ---- relaxation: predict p from current residual; the
+            # stall boost routes through schedule_p so it lands on a
+            # configured tier (no unplanned compile mid-solve)
+            p = cfg.schedule_p(resid, p_fixed, boost=p_boost)
             z = M(Vbuf[i])
             if flexible:
                 Z.append(z)
@@ -339,14 +339,21 @@ class DeviceGmresContext:
     analogue of the reference's GMRESContext, GMRES.hpp:36-63)."""
 
     def __init__(self):
+        #: compiled tier executables keyed by (p, basis capacity)
         self.tier_fns = {}
-        self.finish_fn = None
+        #: compiled back-substitution keyed by basis capacity
+        self.finish_fn = {}
         self.resid_fn = None
 
 
-def _device_predict_p(resid, cfg):
-    """jnp replica of SolverConfig.predict_p (SolverOptions.hpp:25-38),
-    including the calibrated eps(p) = c * gamma**p model when set."""
+def _device_predict_p(resid, cfg, boost=0):
+    """jnp replica of SolverConfig.schedule_p (SolverOptions.hpp:25-38),
+    including the calibrated eps(p) = c * gamma**p model when set.
+
+    Order of operations mirrors the host exactly — floor at p_min,
+    add the stall boost, clamp, THEN quantise to p_tiers — so the
+    tier-exit condition agrees with the host schedule (a mismatch
+    would spin a tier or mint an unplanned tier compile)."""
     import math
 
     eps = jnp.minimum(resid, 1.0)
@@ -359,14 +366,16 @@ def _device_predict_p(resid, cfg):
         raw = jnp.ceil(
             jnp.log(nu / cfg.eps_c) / math.log(cfg.eps_gamma)
         )
-        p = jnp.where(nu >= cfg.eps_c, 1.0, raw)
+        # never extrapolate the calibrated fit below its probed range
+        lo = float(cfg.eps_p_lo or 1)
+        p = jnp.maximum(jnp.where(nu >= cfg.eps_c, 1.0, raw), lo)
     else:
         raw = jnp.ceil(-jnp.log2(nu))
         p = jnp.where(nu >= 1.0, 1.0, raw)
     # floor at p_min to mirror SolverConfig.schedule_p (the reference's
-    # Stokes relaxation floor, GMRES_Stokes.hpp:229) — the tier-exit
-    # condition must agree with the host schedule or a tier could spin
+    # Stokes relaxation floor, GMRES_Stokes.hpp:229)
     p = jnp.clip(p, max(1, cfg.p_min), cfg.max_p).astype(jnp.int32)
+    p = jnp.minimum(p + boost, cfg.max_p)
     if cfg.p_tiers:
         # quantise UP to the configured tiers, matching
         # SolverConfig.quantize_p
@@ -428,7 +437,13 @@ def gmres_device(
     STALL_WIN, STALL_FACTOR = 4, 0.5
     tiny = jnp.asarray(np.finfo(np.dtype(dt)).tiny * 1e3, dt)
 
-    def make_tier(p):
+    def make_tier(p, cap):
+        # ``cap`` is the current Krylov-basis capacity (V rows).  The
+        # basis grows by doubling exactly like the host loop — the
+        # default restart of 500 would otherwise pin a [501, n] basis
+        # upfront (~2 GB f32 at n = 1e6) even for a 5-iteration solve.
+        # Each (p, cap) pair is a separately compiled executable; the
+        # doubling schedule bounds the number of compiles at log2.
         stop_tol = cfg.residual
 
         def tier(
@@ -436,12 +451,12 @@ def gmres_device(
         ):
             def cond(st):
                 (V, Z, H, cs, sn, s, i, resid, it_left) = st
-                ok = (i < restart) & (it_left > 0) & (resid >= stop_tol)
+                ok = (i < cap - 1) & (it_left > 0) & (resid >= stop_tol)
                 if relaxed:
                     # leave when the schedule (plus any stall boost)
                     # wants a smaller order
                     ok = ok & (
-                        _device_predict_p(resid, cfg) + boost >= p
+                        _device_predict_p(resid, cfg, boost) >= p
                     )
                 return ok
 
@@ -455,7 +470,7 @@ def gmres_device(
                     )
                 w = matvec(operand, z, p)
                 # fused modified Gram-Schmidt + one re-orthogonalisation
-                mask = (jnp.arange(restart + 1) <= i)[:, None]
+                mask = (jnp.arange(cap) <= i)[:, None]
                 Vm = jnp.where(mask, V, jnp.zeros_like(V))
                 c1 = Vm @ w
                 w = w - c1 @ Vm
@@ -466,7 +481,10 @@ def gmres_device(
                 V2 = jax.lax.dynamic_update_slice_in_dim(
                     V, (w / jnp.maximum(hn, tiny))[None], i + 1, 0
                 )
-                col = jnp.where(jnp.arange(restart + 1) <= i, coeffs, 0.0)
+                # H column is full-restart length; the cap-row basis
+                # contributes its coefficients to the first cap entries
+                cfull = jnp.zeros(restart + 1, dt).at[: cap].set(coeffs)
+                col = jnp.where(jnp.arange(restart + 1) <= i, cfull, 0.0)
                 col = col.at[i + 1].set(hn)
 
                 # apply the accumulated Givens rotations to the new column
@@ -499,20 +517,32 @@ def gmres_device(
 
         return jax.jit(tier)
 
-    if ctx.finish_fn is None:
+    if not isinstance(ctx.finish_fn, dict):
+        ctx.finish_fn = {}
 
-        def finish(V, Z, H, s, m, x):
-            ar = jnp.arange(restart)
-            rhs = jnp.where(ar < m, s[:restart], 0.0)
-            Hm = H[:restart, :restart] + jnp.diag((ar >= m).astype(dt))
-            y = jax.scipy.linalg.solve_triangular(Hm, rhs, lower=False)
-            if flexible:
-                dx = y @ Z
-            else:
-                dx = M(y @ V[:restart])
-            return x + dx
+    def get_finish(cap):
+        if cap not in ctx.finish_fn:
 
-        ctx.finish_fn = jax.jit(finish)
+            def finish(V, Z, H, s, m, x):
+                ar = jnp.arange(restart)
+                rhs = jnp.where(ar < m, s[:restart], 0.0)
+                Hm = H[:restart, :restart] + jnp.diag(
+                    (ar >= m).astype(dt)
+                )
+                y = jax.scipy.linalg.solve_triangular(
+                    Hm, rhs, lower=False
+                )
+                # y is zero beyond m and m < cap, so the cap-row basis
+                # carries the whole correction
+                k = min(cap, restart)
+                if flexible:
+                    dx = y[: Z.shape[0]] @ Z
+                else:
+                    dx = M(y[:k] @ V[:k])
+                return x + dx
+
+            ctx.finish_fn[cap] = jax.jit(finish)
+        return ctx.finish_fn[cap]
 
     if ctx.resid_fn is None:
 
@@ -543,9 +573,13 @@ def gmres_device(
 
     while total_it < cfg.max_iters:
         if resume is not None:
-            V = jnp.asarray(_embed(resume["V"], (restart + 1, n)))
+            # resume at the checkpoint's basis capacity (>= i+2 by
+            # construction: the state was saved after writing row i+1)
+            cap = max(int(np.asarray(resume["V"]).shape[0]),
+                      int(resume["i"]) + 2)
+            V = jnp.asarray(_embed(resume["V"], (cap, n)))
             Z = jnp.asarray(
-                _embed(resume["Z"], (restart if flexible else 1, n))
+                _embed(resume["Z"], (cap if flexible else 1, n))
             )
             H = jnp.asarray(_embed(resume["H"], (restart + 1, restart)))
             cs = jnp.asarray(_embed(resume["cs"], (restart + 1,)))
@@ -563,8 +597,9 @@ def gmres_device(
                 _ckpt_done()
                 return x, SolveInfo(total_it, resid, True, history)
 
-            V = jnp.zeros((restart + 1, n), dt).at[0].set(r / beta)
-            Z = jnp.zeros((restart if flexible else 1, n), dt)
+            cap = min(restart + 1, 33)
+            V = jnp.zeros((cap, n), dt).at[0].set(r / beta)
+            Z = jnp.zeros((cap if flexible else 1, n), dt)
             H = jnp.zeros((restart + 1, restart), dt)
             cs = jnp.zeros(restart + 1, dt)
             sn = jnp.zeros(restart + 1, dt)
@@ -573,11 +608,10 @@ def gmres_device(
             resid_dev = jnp.asarray(resid, dt)
 
         while True:
-            p = cfg.schedule_p(resid, p_fixed)
-            if relaxed:
-                p = min(p + p_boost, cfg.max_p)
-            if p not in ctx.tier_fns:
-                ctx.tier_fns[p] = make_tier(p)
+            p = cfg.schedule_p(resid, p_fixed, boost=p_boost)
+            if (p, cap) not in ctx.tier_fns:
+                ctx.tier_fns[(p, cap)] = make_tier(p, cap)
+            tier_fn = ctx.tier_fns[(p, cap)]
             block = cfg.max_iters - total_it
             if checkpoint_path is not None:
                 block = min(block, checkpoint_every)
@@ -587,7 +621,7 @@ def gmres_device(
                 block = min(block, 2 * STALL_WIN)
             it_left = jnp.asarray(block, jnp.int32)
             resid_entry = resid
-            st = ctx.tier_fns[p](
+            st = tier_fn(
                 operand_for_p(p), V, Z, H, cs, sn, s, i, resid_dev,
                 it_left, normb_arr, jnp.asarray(p_boost, jnp.int32),
             )
@@ -635,11 +669,27 @@ def gmres_device(
                     total_it=total_it,
                     resid=resid,
                 )
-            if resid < cfg.residual or int(i) >= restart or \
-                    total_it >= cfg.max_iters or steps == 0:
+            if resid < cfg.residual or total_it >= cfg.max_iters:
+                break
+            if int(i) >= cap - 1:
+                if cap >= restart + 1:
+                    break
+                # grow the basis by doubling and continue the SAME
+                # Krylov cycle (host-loop parity, gmres:225-229)
+                new_cap = min(2 * cap, restart + 1)
+                V = jnp.concatenate(
+                    [V, jnp.zeros((new_cap - cap, n), dt)]
+                )
+                if flexible:
+                    Z = jnp.concatenate(
+                        [Z, jnp.zeros((new_cap - cap, n), dt)]
+                    )
+                cap = new_cap
+                continue
+            if steps == 0:
                 break
 
-        x = ctx.finish_fn(V, Z, H, s, i, x)
+        x = get_finish(cap)(V, Z, H, s, i, x)
         if resid < cfg.residual:
             # trust-but-verify: true residual at full p on the next
             # outer-loop pass confirms convergence before returning
@@ -648,6 +698,12 @@ def gmres_device(
             if resid < cfg.residual:
                 _ckpt_done()
                 return x, SolveInfo(total_it, resid, True, history)
+            # the Givens estimate passed but the true residual did not:
+            # direct evidence the inexact-matvec schedule was too
+            # optimistic for this system — raise the order for the
+            # restarted cycle (sticky, like the stall boost)
+            if relaxed and p_boost < cfg.max_p:
+                p_boost += 2
 
     return x, SolveInfo(total_it, resid, False, history)
 

@@ -67,7 +67,9 @@ def run(backend="default", recursions=7, p=5, iters=10, chain=50):
     plan = FmmPlan(
         LaplaceBEMKernel(K=3),
         fields,
-        FMMConfig(ncrit=64, dtype="float32", max_p=max(p, 8)),
+        # max_p 10: the phase record runs at both p=5 and p=10, and the
+        # first-kind relaxed solve uses tiers (3, 5, 10)
+        FMMConfig(ncrit=64, dtype="float32", max_p=max(p, 10)),
     )
     build_s = time.time() - t0
     note(f"plan built ({build_s:.1f}s)")
@@ -179,6 +181,47 @@ def run(backend="default", recursions=7, p=5, iters=10, chain=50):
     stage_s["solve_done"] = round(time.time() - t_start, 1)
     note("solve done")
 
+    # the reference's DEFAULT workload: the FIRST-kind equation
+    # (LaplaceBEM.cpp:190) solved with the paper's headline feature —
+    # relaxed p quantised to TPU tiers (the recommended relaxed mode,
+    # results/RELAX_TPU.md).  System = G operator (unflipped BC),
+    # RHS = dGdn . phi via the flipped-BC matvec; analytic dphi/dn = 1.
+    fk = None
+    if elapsed() < budget - 180 and slot_ops is not None:
+        note("first-kind relaxed solve (tiers 3/5/10)")
+        bfk = to_slots(
+            jnp.asarray(np.asarray(plan.apply_flipped_bc(qn, p=10)[:, 0]))
+        )
+        cfg_fk = SolverConfig(
+            residual=1e-5, max_iters=100, restart=100,
+            max_p=10, p_min=1, p_tiers=(3, 5, 10),
+        )
+        ctx_fk = DeviceGmresContext()
+        xf, infof = gmres_device(
+            mv, bfk, operand_for_p=op4p, config=cfg_fk, context=ctx_fk
+        )
+        t0 = time.time()
+        xf, infof = gmres_device(
+            mv, bfk, operand_for_p=op4p, config=cfg_fk, context=ctx_fk
+        )
+        fk_s = time.time() - t0
+        fk = {
+            "solve_s": fk_s,
+            "iters": infof.iterations,
+            "converged": bool(infof.converged),
+            "residual": infof.residual,
+            "err": float(
+                np.linalg.norm(np.asarray(from_slots(xf)) - 1.0)
+                / np.sqrt(n)
+            ),
+            "p_schedule": [int(h[2]) for h in infof.history],
+        }
+        note(
+            f"first-kind relaxed: {infof.iterations} its, "
+            f"{fk_s:.2f}s, converged={infof.converged}"
+        )
+    stage_s["first_kind_done"] = round(time.time() - t_start, 1)
+
     # near-field kernel equivalence ON THIS BACKEND (the Pallas panel
     # contraction vs the reference einsum on identical device arrays) —
     # the numerical guard the CPU-only test suite cannot provide
@@ -213,16 +256,33 @@ def run(backend="default", recursions=7, p=5, iters=10, chain=50):
 
     from fmm_bem_tpu.utils.roofline import phase_breakdown
 
-    # the phase split costs ~6 extra jit compiles; on a slow tunnel at
-    # large N that can push the whole run past the driver's subprocess
-    # timeout — skip it rather than lose the headline measurement
-    if elapsed() < min(budget - 180, 1000):
-        phases = {
-            k: {kk: round(float(vv), 3) for kk, vv in v.items()}
-            for k, v in phase_breakdown(plan, p, chain=16, iters=2).items()
+    def _round(d):
+        return {
+            k: {
+                kk: (round(float(vv), 3) if vv is not None else None)
+                if not isinstance(vv, bool) else vv
+                for kk, vv in v.items()
+            }
+            for k, v in d.items()
         }
+
+    # the phase split costs ~8 extra jit compiles per order; on a slow
+    # tunnel at large N that can push the whole run past the driver's
+    # subprocess timeout — skip it rather than lose the headline
+    # measurement.  p=5 carries the solo cross-check column; p=10 is
+    # the M2L-roofline record (round-2 target: m2l.pct_mxu at p=10).
+    if elapsed() < budget - 240:
+        phases = _round(
+            phase_breakdown(plan, p, chain=16, iters=2, solo=True)
+        )
     else:
         phases = {"skipped_elapsed_s": round(time.time() - t_start, 1)}
+    phases_p10 = None
+    if elapsed() < budget - 180:
+        note("phases at p=10")
+        phases_p10 = _round(
+            phase_breakdown(plan, 10, chain=16, iters=2, repeats=2)
+        )
 
     value = (float(n) * float(n)) / dt
     return {
@@ -238,8 +298,10 @@ def run(backend="default", recursions=7, p=5, iters=10, chain=50):
         "solve_converged": None if info is None else bool(info.converged),
         "solution_err": sol_err,
         "near_equiv_err": near_equiv,
+        "solve_first_kind_relaxed": fk,
         "stage_s": stage_s,
         "phases": phases,
+        "phases_p10": phases_p10,
         "value": value,
     }
 

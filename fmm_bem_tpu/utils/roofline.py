@@ -12,14 +12,25 @@ against an analytic FLOP/byte model:
 - streaming phases (P2M/L2P tables, near-field panels) against HBM
   bandwidth — they touch their operand bytes exactly once.
 
-Timing method: phases are chained inside ONE jitted lax.scan per
-pipeline *prefix* (P2M; P2M+M2M; ...) and per-phase time is the
-difference of consecutive prefixes.  This survives the tunneled-TPU
-environment where block_until_ready does not block and a single
-dispatch is dominated by host/tunnel latency (see
-.claude/skills/verify/SKILL.md): each scan step feeds a tiny function
-of its output back into the charge vector, so XLA cannot dead-code or
-overlap across steps, and one device->host transfer amortises over the
+Timing method (round 4, reconciled): phases are measured as *pipeline
+prefixes* — P2M; P2M+M2M; ...; the full matvec — each chained inside
+ONE jitted lax.scan, and per-phase time is the difference of
+consecutive prefix times.  Because the last prefix IS the matvec, the
+per-phase numbers telescope to the measured pipeline total by
+construction; ``total.sum_ratio`` reports that total against an
+independently timed production matvec chain (the credibility check —
+round 3's isolated-phase method summed to 2.3x the real matvec because
+sequentially-forced solo scans pay carry-copy and launch overheads the
+real pipeline overlaps away).  Prefix noise (small phases inside a big
+prefix) is handled by (a) round-robin min-of-repeats timing and (b)
+isotonic (PAVA) regression on the cumulative times, which removes the
+negative-diff artifacts of the round-2 prefix method.  The solo method
+survives as an optional ``solo=True`` cross-check column (``ms_solo``).
+
+Chained-scan timing survives the tunneled-TPU environment where
+block_until_ready does not block: each scan step feeds a scalar of its
+output back into the charge vector, so XLA cannot dead-code or
+reorder across steps, and one device->host transfer amortises over the
 whole chain.
 """
 
@@ -93,16 +104,98 @@ def _flop_byte_model(plan, p):
     )
     panels, meta = plan.near_panels()
     if panels is not None:
-        pb = sum(int(np.prod(A.shape)) * it for A in panels["A"])
+        pb = int(np.prod(panels["A"].shape)) * it
         model["near"] = (2.0 * pb / it, pb)
     return model
 
 
-def phase_breakdown(plan, p, q=None, chain=20, iters=3):
+def _pava_nondecreasing(y):
+    """Pool-adjacent-violators: least-squares monotone fit of y."""
+    pools = []  # [value, weight]
+    for v in y:
+        pools.append([float(v), 1.0])
+        while len(pools) > 1 and pools[-2][0] > pools[-1][0]:
+            v1, w1 = pools.pop()
+            v0, w0 = pools.pop()
+            pools.append([(v0 * w0 + v1 * w1) / (w0 + w1), w0 + w1])
+    out = []
+    for v, w in pools:
+        out.extend([v] * int(round(w)))
+    return out
+
+
+def _phase_fns(plan, p, d, aux, sf, slot_ops):
+    """Ordered matvec phases as (name, state_fn, input_tag).
+
+    input_tag: 'q' (consumes the charge vector), 'state' (consumes the
+    previous phase's output).  The composition of all phases in order
+    reproduces the production matvec pipeline.
+    """
+    cdim = getattr(plan.kernel, "charge_dim", 1)
+    nl = len(plan.src.leaf_ids)
+    K = plan.src.leaf_pad
+    st = plan.src.tree
+    dt = jnp.dtype(plan.config.dtype)
+    cW = plan.kernel.ncomp * plan.kernel.width(p)
+
+    def p2m(q):
+        if slot_ops is not None:
+            if "p2m_tab_t" in aux:
+                tab = aux["p2m_tab_t"]
+                if cdim == 1:
+                    contrib = q[:, None] * tab
+                else:
+                    contrib = jnp.einsum(
+                        "nc,cnw->nw", q.reshape(nl * K, cdim), tab
+                    )
+            else:
+                contrib = plan.kernel.p2m(
+                    aux["s_fields_t"], q, aux["s_dn_t"], aux["s_isig_t"],
+                    p,
+                ).reshape(-1, cW)
+                contrib = jnp.where(
+                    d["s_slot_mask"][:, None], contrib, 0.0
+                )
+            return (
+                jnp.zeros((st.num_boxes, cW), dt)
+                .at[d["s_leaf_ids"]]
+                .set(contrib.reshape(nl, K, cW).sum(axis=1))
+            )
+        return plan._phase_p2m(d, aux, sf, q[d["s_perm"]], p)
+
+    def l2p(L):
+        if slot_ops is not None:
+            return plan._l2p_slots(d, aux, L, p)
+        return plan._phase_l2p(d, aux, sf, L, p)
+
+    def near(q):
+        if slot_ops is not None:
+            return plan._near_pass_slots(aux["panels"], q)
+        return plan._near_pass(d, aux["panels"], sf, q[d["s_perm"]])
+
+    fns = [
+        ("p2m", p2m, "q"),
+        ("m2m", lambda M: plan._phase_m2m(d, M), "state"),
+        ("m2l", lambda M: plan._phase_m2l(d, M, p), "state"),
+        ("l2l", lambda L: plan._phase_l2l(d, L), "state"),
+        ("l2p", l2p, "state"),
+    ]
+    if "panels" in aux:
+        fns.append(("near", near, "q"))
+    return fns
+
+
+def phase_breakdown(plan, p, q=None, chain=24, iters=2, repeats=3,
+                    solo=False):
     """Measure the matvec phases on the current backend.
 
     Returns {phase: {"ms", "gflops", "gbs", "pct_mxu", "pct_hbm"}} plus
-    a "total" entry.  Phases: p2m, m2m, m2l, l2l, l2p, near.
+    a "total" entry {"ms", "matvec_ms", "sum_ratio"} where sum_ratio =
+    (sum of phases) / (independently timed production matvec) — the
+    self-consistency check; trust the per-phase numbers only when it is
+    within ~15% of 1.  With ``solo=True`` each phase also carries
+    "ms_solo", the round-3 isolated-scan measurement (upper bound:
+    includes per-launch and carry overheads the pipeline amortises).
     """
     dt = jnp.dtype(plan.config.dtype)
     n = plan.src.tree.num_bodies
@@ -114,11 +207,6 @@ def phase_breakdown(plan, p, q=None, chain=20, iters=3):
     # measure the PRODUCTION layout: slot-space when the plan supports
     # it (the solver path), else the body-order phases
     slot_ops = plan.solver_ops_slots()
-    cdim = getattr(plan.kernel, "charge_dim", 1)
-    nl = len(plan.src.leaf_ids)
-    K = plan.src.leaf_pad
-    st = plan.src.tree
-    cW = plan.kernel.ncomp * plan.kernel.width(p)
     if slot_ops is not None:
         aux = plan.variant_aux_slots(p)
         qm0 = slot_ops[2](qm0)  # to_slots
@@ -126,121 +214,186 @@ def phase_breakdown(plan, p, q=None, chain=20, iters=3):
         aux = plan.variant_aux(p)
     d = plan.device_data(p)
 
+    fns = _phase_fns(plan, p, d, aux, sf, slot_ops)
+    names = [nm for nm, _, _ in fns]
+
     def mix(x, out):
         # feed a scalar function of the phase output back into the
         # charges: forces sequential execution, costs ~nothing
         s = out
         while s.ndim > 0:
-            s = s.sum(axis=-1)[...] if s.ndim > 1 else s.sum()
+            s = s.sum(axis=-1) if s.ndim > 1 else s.sum()
         return x * (1.0 + 1e-30 * s)
 
-    def _p2m_slots(d_, aux_, q_t):
-        if "p2m_tab_t" in aux_:
-            tab = aux_["p2m_tab_t"]
-            if cdim == 1:
-                contrib = q_t[:, None] * tab
-            else:
-                contrib = jnp.einsum(
-                    "nc,cnw->nw", q_t.reshape(nl * K, cdim), tab
-                )
-        else:
-            contrib = plan.kernel.p2m(
-                aux_["s_fields_t"], q_t, aux_["s_dn_t"],
-                aux_["s_isig_t"], p,
-            ).reshape(-1, cW)
-            contrib = jnp.where(d_["s_slot_mask"][:, None], contrib, 0.0)
-        return (
-            jnp.zeros((st.num_boxes, cW), dt)
-            .at[d_["s_leaf_ids"]]
-            .set(contrib.reshape(nl, K, cW).sum(axis=1))
-        )
+    def make_prefix(k):
+        """Chained scan running phases fns[0..k] per step."""
 
-    # ---- DIRECT per-phase timing: each phase runs in its own chained
-    # scan on a realistic materialised input (no prefix differencing —
-    # that attribution was noisy to the point of negative timings and
-    # cross-prefix compilation artifacts).  Phase inputs M and L are
-    # built once by small jits; every chain step consumes the FULL
-    # phase output through ``mix`` so XLA cannot dead-code the work.
-    def _p2m_full(d_, aux_, sf_, x):
-        if slot_ops is not None:
-            return _p2m_slots(d_, aux_, x)
-        return plan._phase_p2m(d_, aux_, sf_, x[d_["s_perm"]], p)
+        def step_body(qv):
+            state = None
+            out = None
+            for nm, f, tag in fns[: k + 1]:
+                if tag == "q":
+                    r = f(qv)
+                    # far-field chain threads through `state`; the
+                    # near field (tag 'q' after l2p) adds to out
+                    if state is None:
+                        state = r
+                        out = r
+                    else:
+                        out = out + r if out.shape == r.shape else r
+                else:
+                    state = f(state)
+                    out = state
+            return out
 
-    def _l2p_full(d_, aux_, sf_, L):
-        if slot_ops is not None:
-            return plan._l2p_slots(d_, aux_, L, p)
-        return plan._phase_l2p(d_, aux_, sf_, L, p)
-
-    def _near_full(d_, aux_, sf_, x):
-        if slot_ops is not None:
-            return plan._near_pass_slots(aux_["panels"], x)
-        return plan._near_pass(d_, aux_["panels"], sf_, x[d_["s_perm"]])
-
-    mkM0 = jax.jit(_p2m_full)
-    M0 = mkM0(d, aux, sf, qm0)
-    mkM = jax.jit(lambda d_, M_: plan._phase_m2m(d_, M_))
-    M = mkM(d, M0)
-    mkLr = jax.jit(lambda d_, M_: plan._phase_m2l(d_, M_, p))
-    Lr = mkLr(d, M)
-    phases = [
-        ("p2m", _p2m_full, qm0),
-        ("m2m", lambda d_, aux_, sf_, M_: plan._phase_m2m(d_, M_), M0),
-        ("m2l", lambda d_, aux_, sf_, M_: plan._phase_m2l(d_, M_, p), M),
-        ("l2l", lambda d_, aux_, sf_, L_: plan._phase_l2l(d_, L_), Lr),
-        ("l2p", _l2p_full, Lr),
-    ]
-    if "panels" in aux:
-        phases.append(("near", _near_full, qm0))
-
-    def timed_phase(fn, x0):
         def run_(d_, aux_, sf_, x):
             def step(x, _):
-                return mix(x, fn(d_, aux_, sf_, x)), None
+                return mix(x, step_body(x)), None
 
             y, _ = jax.lax.scan(step, x, None, length=chain)
             return y
 
-        run = jax.jit(run_)
-        np.asarray(run(d, aux, sf, x0))  # compile
-        t0 = time.time()
-        for _ in range(iters):
-            np.asarray(run(d, aux, sf, x0))
-        return max((time.time() - t0) / iters - t_base, 1e-9) / chain
+        return jax.jit(run_)
 
+    # baseline: a null function with the SAME argument signature as
+    # the prefix runs.  Per-call cost is dominated not only by the
+    # device->host sync but by host-side pytree flattening of the big
+    # (d, aux, sf) dicts (~30 ms on CPU hosts) — a baseline that takes
+    # only ``x`` under-subtracts and buries the small phases.
     @jax.jit
-    def ident(x):
+    def ident(d_, aux_, sf_, x):
         return x * 1.0000001
 
-    np.asarray(ident(qm0))
-    t0 = time.time()
-    for _ in range(iters):
-        np.asarray(ident(qm0))
-    t_base = (time.time() - t0) / iters
+    np.asarray(ident(d, aux, sf, qm0))
+    t_base = np.inf
+    for _ in range(repeats):
+        t0 = time.time()
+        for _ in range(iters):
+            np.asarray(ident(d, aux, sf, qm0))
+        t_base = min(t_base, (time.time() - t0) / iters)
+
+    # compile all prefixes, then round-robin timing with min-of-repeats
+    prefixes = [make_prefix(k) for k in range(len(fns))]
+    for run in prefixes:
+        np.asarray(run(d, aux, sf, qm0))
+    cum = [np.inf] * len(fns)
+    for _ in range(repeats):
+        for k, run in enumerate(prefixes):
+            t0 = time.time()
+            for _ in range(iters):
+                np.asarray(run(d, aux, sf, qm0))
+            dt_k = max((time.time() - t0) / iters - t_base, 0.0) / chain
+            cum[k] = min(cum[k], dt_k)
+    cum = _pava_nondecreasing(cum)
+    per_phase = [cum[0]] + [
+        cum[k] - cum[k - 1] for k in range(1, len(cum))
+    ]
+
+    # independent production-matvec chain: the ground truth the phases
+    # must sum to (solver_ops mv includes the same phases + final mask)
+    if slot_ops is not None:
+        mv, op4p = slot_ops[0], slot_ops[1]
+    else:
+        mv, op4p = plan.solver_ops()
+    operand = op4p(p)
+
+    @jax.jit
+    def mv_chain(operand, x):
+        def step(x, _):
+            return mix(x, mv(operand, x, p)), None
+
+        y, _ = jax.lax.scan(step, x, None, length=chain)
+        return y
+
+    @jax.jit
+    def ident_op(operand, x):
+        return x * 1.0000001
+
+    np.asarray(ident_op(operand, qm0))
+    mv_base = np.inf
+    for _ in range(repeats):
+        t0 = time.time()
+        for _ in range(iters):
+            np.asarray(ident_op(operand, qm0))
+        mv_base = min(mv_base, (time.time() - t0) / iters)
+
+    np.asarray(mv_chain(operand, qm0))
+    mv_t = np.inf
+    for _ in range(repeats):
+        t0 = time.time()
+        for _ in range(iters):
+            np.asarray(mv_chain(operand, qm0))
+        mv_t = min(
+            mv_t,
+            max((time.time() - t0) / iters - mv_base, 1e-9) / chain,
+        )
+
+    # optional solo cross-check (round-3 method: isolated chained scans
+    # on materialised phase inputs)
+    solo_ms = {}
+    if solo:
+        mats = {"q": qm0}
+        state = qm0
+        for nm, f, tag in fns:
+            inp = mats["q"] if tag == "q" else state
+            g = jax.jit(lambda d_, aux_, sf_, x, f=f: f(x))
+            outv = g(d, aux, sf, inp)
+            if tag != "q" or nm == "p2m":
+                state = outv
+            mats[nm] = inp
+
+        for nm, f, tag in fns:
+            x0 = mats[nm]
+
+            def run_(d_, aux_, sf_, x, f=f):
+                def step(x, _):
+                    return mix(x, f(x)), None
+
+                y, _ = jax.lax.scan(step, x, None, length=chain)
+                return y
+
+            run = jax.jit(run_)
+            np.asarray(run(d, aux, sf, x0))
+            best = np.inf
+            for _ in range(max(repeats - 1, 1)):
+                t0 = time.time()
+                for _ in range(iters):
+                    np.asarray(run(d, aux, sf, x0))
+                best = min(
+                    best,
+                    max((time.time() - t0) / iters - t_base, 1e-9)
+                    / chain,
+                )
+            solo_ms[nm] = best * 1e3
 
     model = _flop_byte_model(plan, p)
     peaks = chip_peaks()
-    floor = 20e-6  # per chained step: below this the number is noise
+    floor = 15e-6  # per chained step: below this the number is noise
     out = {}
-    total = 0.0
-    for name, fn, x0 in phases:
-        dt_k = timed_phase(fn, x0)
-        total += dt_k
-        flops, bytes_ = model.get(name, (0.0, 0.0))
+    for nm, dt_k in zip(names, per_phase):
+        flops, bytes_ = model.get(nm, (0.0, 0.0))
+        r = {"ms": dt_k * 1e3}
+        if nm in solo_ms:
+            r["ms_solo"] = solo_ms[nm]
         if dt_k < floor:
-            out[name] = {
-                "ms": round(max(dt_k, 0.0) * 1e3, 4),
-                "below_timer_floor": True,
-            }
+            r["below_timer_floor"] = True
+            out[nm] = r
             continue
-        r = {
-            "ms": dt_k * 1e3,
-            "gflops": flops / dt_k / 1e9,
-            "gbs": bytes_ / dt_k / 1e9,
-        }
+        r["gflops"] = flops / dt_k / 1e9
+        r["gbs"] = bytes_ / dt_k / 1e9
         if peaks:
             f32_peak, _, hbm = peaks
             r["pct_mxu"] = 100.0 * (flops / dt_k) / f32_peak
             r["pct_hbm"] = 100.0 * (bytes_ / dt_k) / hbm
-        out[name] = r
-    out["total"] = {"ms": total * 1e3, "sum_of_phases": True}
+        out[nm] = r
+    out["total"] = {
+        "ms": cum[-1] * 1e3,
+        "matvec_ms": mv_t * 1e3,
+        # trust per-phase numbers only when the pipeline total agrees
+        # with the production matvec; below the timer floor the ratio
+        # is noise, not evidence
+        "sum_ratio": (
+            cum[-1] / mv_t if mv_t > floor and cum[-1] > floor else None
+        ),
+    }
     return out

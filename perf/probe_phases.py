@@ -109,15 +109,17 @@ def main():
     print(f"  bucket_sum: buckets={[i.shape for i in bs.idx]}")
 
     panels_dev, meta = plan.near_panels()
-    A_bytes = sum(int(np.prod(A.shape)) * 4 for A in panels_dev["A"])
+    A_bytes = int(np.prod(panels_dev["A"].shape)) * 4
     useful = meta.npairs * meta.KT * meta.rdim * meta.KS * meta.cdim * 4
     print(
         f"near: npairs={meta.npairs} KT={meta.KT} KS={meta.KS} "
         f"A_bytes={A_bytes/1e6:.1f}MB useful={useful/1e6:.1f}MB "
         f"pad_waste={100*(1-useful/max(A_bytes,1)):.0f}%"
     )
-    for A, pi in zip(panels_dev["A"], panels_dev["pidx"]):
-        print(f"  bucket A{tuple(A.shape)} pidx{tuple(pi.shape)}")
+    print(
+        f"  chunks A{tuple(panels_dev['A'].shape)} m0={meta.m0} "
+        f"block_rows={meta.block_rows}"
+    )
     print(flush=True)
 
     d = plan.device_data(P)
@@ -204,19 +206,13 @@ def main():
 
     def xgather(nd_, q_):
         xq = jnp.concatenate([q_, jnp.zeros((1, KSc), q_.dtype)], axis=0)
-        outs = []
-        for pidx in nd_["panels"]["pidx"]:
-            outs.append(xq[pidx].reshape(-1))
-        return jnp.concatenate(outs)
+        return xq[nd_["panels"]["pidx"]].reshape(-1)
 
-    timed("  charge gathers only", xgather, nd, ql)
+    timed("  charge gather only", xgather, nd, ql)
 
     def stream(nd_, q_):
         acc = q_.reshape(-1)[:8].sum()
-        outs = [
-            jnp.abs(A + acc).sum(axis=(1, 2)) for A in nd_["panels"]["A"]
-        ]
-        return jnp.concatenate(outs)
+        return jnp.abs(nd_["panels"]["A"] + acc).sum(axis=(1, 2))
 
     timed("  A stream (jnp.sum bound)", stream, nd, ql, bytes_=A_bytes)
 
@@ -228,22 +224,12 @@ def main():
     )
     nl_t = len(plan.tgt.leaf_ids)
     K_t = plan.tgt.leaf_pad
-    nd2 = {"d": d, "out": out_leaf, "inv": panels_dev["inv_order"]}
+    nd2 = {"d": d, "chunks": out_leaf, "ct": panels_dev["chunk_tgt"]}
 
     timed("  mk_ql (mask+gather)",
           lambda d_, q_: jnp.where(
               d_["s_leaf_body_mask"], q_[d_["s_leaf_body_idx"]], 0.0
           ), d, qm)
-
-    timed("  out[inv_order]",
-          lambda nd_, q_: (nd_["out"] * (1 + q_[0, 0]))[nd_["inv"]],
-          nd2, ql)
-
-    def final_gather(nd_, q_):
-        o = (nd_["out"] * (1 + q_[0, 0]))[nd_["inv"]]
-        return o.reshape(nl_t * K_t, 1)[nd_["d"]["t_body_flat_slot"]]
-
-    timed("  +body_flat_slot gather", final_gather, nd2, ql)
 
     # =========== p2m decomposition ===========
     tab = aux["p2m_tab"]

@@ -42,6 +42,7 @@ def _run_at(backend, rec, timeout):
         return None
     env = dict(os.environ)
     env["FMM_BENCH_BUDGET_S"] = str(int(timeout))
+    stdout = ""
     try:
         out = subprocess.run(
             [
@@ -57,7 +58,17 @@ def _run_at(backend, rec, timeout):
             cwd=_HERE,
             env=env,
         )
-        for line in reversed(out.stdout.strip().splitlines()):
+        stdout = out.stdout or ""
+    except subprocess.TimeoutExpired as e:
+        # the impl prints an intermediate record BEFORE the optional
+        # compile-heavy stages — a killed subprocess still yields the
+        # headline measurement
+        so = e.stdout or b""
+        stdout = so.decode() if isinstance(so, bytes) else so
+    except Exception:
+        return None
+    try:
+        for line in reversed(stdout.strip().splitlines()):
             line = line.strip()
             if line.startswith("{"):
                 return json.loads(line)

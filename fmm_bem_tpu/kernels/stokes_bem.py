@@ -82,9 +82,18 @@ def _self_velocity_integral(verts, x, n_duffy=24):
     return out
 
 
-def stokes_near_entries(tgt_fields, src_fields, t_idx, s_idx, mu, fine_K=19):
+def stokes_near_entries(tgt_fields, src_fields, t_idx, s_idx, mu,
+                        fine_K=19, analytical=True):
     """(velocity_block, traction_block) 3x3 entries per (target, source)
-    pair, following the reference's SA/fine/plain selection."""
+    pair, following the reference's near/far selection.
+
+    Near-singular NON-self entries use the general off-plane closed
+    forms (bem/analytical.py stokes_single_layer/stresslet_layer — the
+    full Fata surface, FataAnalytical.hpp:236-420) instead of the
+    reference's K_fine quadrature: exact where fine quadrature is at
+    its worst (target a fraction of a panel size away).  Pass
+    ``analytical=False`` for the reference's fine-K behaviour
+    (convergence cross-checks)."""
     centers = np.asarray(src_fields["xyz"])
     verts = np.asarray(src_fields["vertices"])
     area = np.asarray(src_fields["area"])
@@ -124,8 +133,26 @@ def stokes_near_entries(tgt_fields, src_fields, t_idx, s_idx, mu, fine_K=19):
         vel[far] = quad_blocks(far, Kp, Kw, "vel")
         trac[far] = quad_blocks(far, Kp, Kw, "trac")
     if near.any():
-        vel[near] = quad_blocks(near, Fp, Fw, "vel")
-        trac[near] = quad_blocks(near, Fp, Fw, "trac")
+        if analytical:
+            from fmm_bem_tpu.bem.analytical import (
+                stokes_single_layer,
+                stokes_stresslet_layer,
+            )
+
+            vel[near] = stokes_single_layer(sv[near], t[near])
+            # the closed form derives its normal from the vertex
+            # winding; align with the stored panel normal
+            e1 = sv[near][:, 1] - sv[near][:, 0]
+            e2 = sv[near][:, 2] - sv[near][:, 0]
+            wn = np.cross(e1, e2)
+            sgn = np.sign(np.einsum("bi,bi->b", wn, sn[near]))
+            trac[near] = (
+                sgn[:, None, None]
+                * stokes_stresslet_layer(sv[near], t[near])
+            )
+        else:
+            vel[near] = quad_blocks(near, Fp, Fw, "vel")
+            trac[near] = quad_blocks(near, Fp, Fw, "trac")
     if self_.any():
         # closed-form Fata-role integral (exact for the flat panel;
         # ref StokesSphericalBEM.hpp:279-293 / FataAnalytical.hpp)

@@ -266,44 +266,51 @@ def run(backend="default", recursions=7, p=5, iters=10, chain=50):
             for k, v in d.items()
         }
 
-    # the phase split costs ~8 extra jit compiles per order; on a slow
-    # tunnel at large N that can push the whole run past the driver's
-    # subprocess timeout — skip it rather than lose the headline
-    # measurement.  p=5 carries the solo cross-check column; p=10 is
-    # the M2L-roofline record (round-2 target: m2l.pct_mxu at p=10).
-    if elapsed() < budget - 240:
-        phases = _round(
-            phase_breakdown(plan, p, chain=16, iters=2, solo=True)
-        )
-    else:
-        phases = {"skipped_elapsed_s": round(time.time() - t_start, 1)}
+    def result(phases, phases_p10):
+        value = (float(n) * float(n)) / dt
+        return {
+            "backend": platform,
+            "n_panels": n,
+            "p": p,
+            "matvec_s": dt,
+            "matvec_dispatched_s": dt_single,
+            "build_s": build_s,
+            "compile_s": compile_s,
+            "solve_s": solve_s,
+            "solve_iters": None if info is None else info.iterations,
+            "solve_converged": None if info is None
+            else bool(info.converged),
+            "solution_err": sol_err,
+            "near_equiv_err": near_equiv,
+            "solve_first_kind_relaxed": fk,
+            "stage_s": dict(stage_s),
+            "phases": phases,
+            "phases_p10": phases_p10,
+            "value": value,
+        }
+
+    # ---- print the headline record NOW: the phase split below costs
+    # ~15 jit compiles (7 pipeline prefixes per order) and a cold
+    # tunnel compile can blow any budget — a killed process must not
+    # lose the measurement (the driver parses the LAST json line)
+    print(json.dumps(result(
+        {"pending": True}, None
+    )), flush=True)
+
+    phases = {"skipped_elapsed_s": round(time.time() - t_start, 1)}
     phases_p10 = None
+    if elapsed() < budget - 240:
+        phases = _round(phase_breakdown(plan, p, chain=16, iters=2))
+        stage_s["phases_p5_done"] = round(time.time() - t_start, 1)
+        note("p=5 phases done")
     if elapsed() < budget - 180:
         note("phases at p=10")
         phases_p10 = _round(
             phase_breakdown(plan, 10, chain=16, iters=2, repeats=2)
         )
+        stage_s["phases_p10_done"] = round(time.time() - t_start, 1)
 
-    value = (float(n) * float(n)) / dt
-    return {
-        "backend": platform,
-        "n_panels": n,
-        "p": p,
-        "matvec_s": dt,
-        "matvec_dispatched_s": dt_single,
-        "build_s": build_s,
-        "compile_s": compile_s,
-        "solve_s": solve_s,
-        "solve_iters": None if info is None else info.iterations,
-        "solve_converged": None if info is None else bool(info.converged),
-        "solution_err": sol_err,
-        "near_equiv_err": near_equiv,
-        "solve_first_kind_relaxed": fk,
-        "stage_s": stage_s,
-        "phases": phases,
-        "phases_p10": phases_p10,
-        "value": value,
-    }
+    return result(phases, phases_p10)
 
 
 if __name__ == "__main__":

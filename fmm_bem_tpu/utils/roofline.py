@@ -124,12 +124,15 @@ def _pava_nondecreasing(y):
     return out
 
 
-def _phase_fns(plan, p, d, aux, sf, slot_ops):
-    """Ordered matvec phases as (name, state_fn, input_tag).
+def _phase_fns(plan, p, aux_keys, slot_ops):
+    """Ordered matvec phases as (name, fn(d, aux, sf, x), input_tag).
 
     input_tag: 'q' (consumes the charge vector), 'state' (consumes the
     previous phase's output).  The composition of all phases in order
-    reproduces the production matvec pipeline.
+    reproduces the production matvec pipeline.  Every fn takes the
+    device dicts as ARGUMENTS — a closure over them would bake the
+    arrays into the compiled HLO as constants, which the tunneled
+    remote compile rejects at this size (HTTP 413).
     """
     cdim = getattr(plan.kernel, "charge_dim", 1)
     nl = len(plan.src.leaf_ids)
@@ -138,9 +141,9 @@ def _phase_fns(plan, p, d, aux, sf, slot_ops):
     dt = jnp.dtype(plan.config.dtype)
     cW = plan.kernel.ncomp * plan.kernel.width(p)
 
-    def p2m(q):
+    def p2m(d, aux, sf, q):
         if slot_ops is not None:
-            if "p2m_tab_t" in aux:
+            if "p2m_tab_t" in aux_keys:
                 tab = aux["p2m_tab_t"]
                 if cdim == 1:
                     contrib = q[:, None] * tab
@@ -163,24 +166,25 @@ def _phase_fns(plan, p, d, aux, sf, slot_ops):
             )
         return plan._phase_p2m(d, aux, sf, q[d["s_perm"]], p)
 
-    def l2p(L):
+    def l2p(d, aux, sf, L):
         if slot_ops is not None:
             return plan._l2p_slots(d, aux, L, p)
         return plan._phase_l2p(d, aux, sf, L, p)
 
-    def near(q):
+    def near(d, aux, sf, q):
         if slot_ops is not None:
             return plan._near_pass_slots(aux["panels"], q)
         return plan._near_pass(d, aux["panels"], sf, q[d["s_perm"]])
 
     fns = [
         ("p2m", p2m, "q"),
-        ("m2m", lambda M: plan._phase_m2m(d, M), "state"),
-        ("m2l", lambda M: plan._phase_m2l(d, M, p), "state"),
-        ("l2l", lambda L: plan._phase_l2l(d, L), "state"),
+        ("m2m", lambda d, aux, sf, M: plan._phase_m2m(d, M), "state"),
+        ("m2l", lambda d, aux, sf, M: plan._phase_m2l(d, M, p),
+         "state"),
+        ("l2l", lambda d, aux, sf, L: plan._phase_l2l(d, L), "state"),
         ("l2p", l2p, "state"),
     ]
-    if "panels" in aux:
+    if "panels" in aux_keys:
         fns.append(("near", near, "q"))
     return fns
 
@@ -214,7 +218,7 @@ def phase_breakdown(plan, p, q=None, chain=24, iters=2, repeats=3,
         aux = plan.variant_aux(p)
     d = plan.device_data(p)
 
-    fns = _phase_fns(plan, p, d, aux, sf, slot_ops)
+    fns = _phase_fns(plan, p, set(aux.keys()), slot_ops)
     names = [nm for nm, _, _ in fns]
 
     def mix(x, out):
@@ -228,12 +232,12 @@ def phase_breakdown(plan, p, q=None, chain=24, iters=2, repeats=3,
     def make_prefix(k):
         """Chained scan running phases fns[0..k] per step."""
 
-        def step_body(qv):
+        def step_body(d_, aux_, sf_, qv):
             state = None
             out = None
             for nm, f, tag in fns[: k + 1]:
                 if tag == "q":
-                    r = f(qv)
+                    r = f(d_, aux_, sf_, qv)
                     # far-field chain threads through `state`; the
                     # near field (tag 'q' after l2p) adds to out
                     if state is None:
@@ -242,13 +246,13 @@ def phase_breakdown(plan, p, q=None, chain=24, iters=2, repeats=3,
                     else:
                         out = out + r if out.shape == r.shape else r
                 else:
-                    state = f(state)
+                    state = f(d_, aux_, sf_, state)
                     out = state
             return out
 
         def run_(d_, aux_, sf_, x):
             def step(x, _):
-                return mix(x, step_body(x)), None
+                return mix(x, step_body(d_, aux_, sf_, x)), None
 
             y, _ = jax.lax.scan(step, x, None, length=chain)
             return y
@@ -336,7 +340,7 @@ def phase_breakdown(plan, p, q=None, chain=24, iters=2, repeats=3,
         state = qm0
         for nm, f, tag in fns:
             inp = mats["q"] if tag == "q" else state
-            g = jax.jit(lambda d_, aux_, sf_, x, f=f: f(x))
+            g = jax.jit(lambda d_, aux_, sf_, x, f=f: f(d_, aux_, sf_, x))
             outv = g(d, aux, sf, inp)
             if tag != "q" or nm == "p2m":
                 state = outv
@@ -347,7 +351,7 @@ def phase_breakdown(plan, p, q=None, chain=24, iters=2, repeats=3,
 
             def run_(d_, aux_, sf_, x, f=f):
                 def step(x, _):
-                    return mix(x, f(x)), None
+                    return mix(x, f(d_, aux_, sf_, x)), None
 
                 y, _ = jax.lax.scan(step, x, None, length=chain)
                 return y

@@ -229,3 +229,186 @@ def test_duffy_self_term_convergence_study():
     # the n=24 rule carried O(3e-3) relative error on slivers — above
     # the 1e-5 solver tolerance, hence the closed form is the default
     assert errs[24] < 2e-2
+
+
+def _refined_quad(f, tri, K=79, depth=4):
+    """Subdivided high-order quadrature oracle for smooth-enough
+    integrands (targets at moderate distance)."""
+    pts, wts = get_rule(K)
+    tris = [tri]
+    for _ in range(depth):
+        new = []
+        for t in tris:
+            m01, m12, m20 = (
+                (t[0] + t[1]) / 2, (t[1] + t[2]) / 2, (t[2] + t[0]) / 2
+            )
+            new += [
+                np.stack([t[0], m01, m20]), np.stack([m01, t[1], m12]),
+                np.stack([m20, m12, t[2]]), np.stack([m01, m12, m20]),
+            ]
+        tris = new
+    total = 0.0
+    for t in tris:
+        qp = pts @ t
+        area = 0.5 * np.linalg.norm(np.cross(t[2] - t[0], t[1] - t[0]))
+        total = total + np.tensordot(wts * area, f(qp), axes=(0, 0))
+    return total
+
+
+def test_offplane_closed_forms_match_refined_quadrature():
+    """The general (off-plane) Fata-role closed forms
+    (FataAnalytical.hpp:236-420 capability) vs a refined 79-point
+    oracle at several heights/offsets, plus in-plane consistency with
+    the self-term forms."""
+    from fmm_bem_tpu.bem.analytical import (
+        laplace_layers,
+        laplace_single_layer_self,
+        stokes_single_layer,
+        stokes_single_layer_self,
+        stokes_stresslet_layer,
+    )
+
+    tris = _random_triangles(3, seed=7)
+    for tri in tris:
+        n = np.cross(tri[1] - tri[0], tri[2] - tri[0])
+        n /= np.linalg.norm(n)
+        size = np.sqrt(np.linalg.norm(
+            np.cross(tri[1] - tri[0], tri[2] - tri[0])
+        ))
+        for hoff, lat in ((0.5, 0.0), (0.15, 0.4), (-0.3, 0.2)):
+            x = (
+                tri.mean(0) + hoff * size * n
+                + lat * (tri[1] - tri[0])
+            )[None]
+            v = tri[None]
+            G, dG = laplace_layers(v, x)
+            SL = stokes_single_layer(v, x)
+            ST = stokes_stresslet_layer(v, x)
+
+            qG = _refined_quad(
+                lambda qp: 1.0 / np.linalg.norm(qp - x, axis=1), tri
+            )
+            qdG = _refined_quad(
+                lambda qp: ((qp - x) @ n)
+                / np.linalg.norm(qp - x, axis=1) ** 3,
+                tri,
+            )
+
+            def sl(qp):
+                d = qp - x
+                r2 = (d * d).sum(1)
+                r3 = r2 * np.sqrt(r2)
+                return (
+                    r2[:, None, None] * np.eye(3)
+                    + d[:, :, None] * d[:, None, :]
+                ) / r3[:, None, None]
+
+            def stl(qp):
+                # framework convention: dx = x - y
+                d = x - qp
+                r2 = (d * d).sum(1)
+                r5 = r2 * r2 * np.sqrt(r2)
+                return (d @ n)[:, None, None] * (
+                    d[:, :, None] * d[:, None, :]
+                ) / r5[:, None, None]
+
+            qSL = _refined_quad(sl, tri)
+            qST = _refined_quad(stl, tri)
+            sG = max(abs(qG), 1e-30)
+            # tolerances bound the ORACLE's refinement error (the
+            # closed forms are exact; 1/r^3, 1/r^5 integrands converge
+            # slowest under subdivision)
+            assert abs(G[0] - qG) / sG < 1e-6, (hoff, lat)
+            assert abs(dG[0] - qdG) / max(abs(qdG), sG) < 1e-5
+            assert np.abs(SL[0] - qSL).max() / np.abs(qSL).max() < 1e-5
+            assert np.abs(ST[0] - qST).max() / max(
+                np.abs(qST).max(), 1e-12
+            ) < 1e-4
+
+        # in-plane limits reduce to the self-term forms
+        xc = tri.mean(0)[None]
+        v = tri[None]
+        assert abs(
+            laplace_layers(v, xc)[0][0]
+            - laplace_single_layer_self(v, xc)[0]
+        ) < 1e-12
+        assert np.abs(
+            stokes_single_layer(v, xc)[0]
+            - stokes_single_layer_self(v, xc)[0]
+        ).max() < 1e-12
+        # stresslet one-sided limits over the interior = the
+        # double-layer jump -+(2 pi/3) I, i.e. +-2 pi I after the
+        # traction -3 scale — the reference's self convention
+        eps = 1e-9 * size
+        up = stokes_stresslet_layer(v, xc + eps * n)
+        dn = stokes_stresslet_layer(v, xc - eps * n)
+        assert np.abs(-3 * up + 2 * np.pi * np.eye(3)).max() < 1e-5
+        assert np.abs(-3 * dn - 2 * np.pi * np.eye(3)).max() < 1e-5
+
+
+def test_stokes_near_entries_analytical_beats_fine_quadrature():
+    """The VERDICT-requested study in executable form: on adjacent
+    sphere panels (the near-singular set), compare BOTH the analytical
+    path and the reference's fine-K quadrature against a refined
+    subdivided oracle.  The closed form must (a) agree with the oracle
+    to its refinement error and (b) be at least as accurate as fine-K
+    everywhere, and strictly better on the closest pairs."""
+    from fmm_bem_tpu.kernels.stokes_bem import stokes_near_entries
+
+    tris = unit_sphere(2)
+    fields = make_panels(tris, K=4)
+    n = len(tris)
+    centers = np.asarray(fields["xyz"])
+    area = np.asarray(fields["area"])
+    # nearest non-self pairs: the worst case for quadrature
+    d2 = ((centers[:, None] - centers[None]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    s_idx = np.argmin(d2, axis=1)[:12]
+    t_idx = np.arange(12)
+    # sanity: these are genuinely near-singular per the ref criterion
+    dist = np.linalg.norm(centers[t_idx] - centers[s_idx], axis=1)
+    assert (np.sqrt(2 * area[s_idx]) / dist >= 0.5).all()
+
+    va, ta = stokes_near_entries(
+        fields, fields, t_idx, s_idx, mu=0.5, fine_K=25, analytical=True
+    )
+    vq, tq = stokes_near_entries(
+        fields, fields, t_idx, s_idx, mu=0.5, fine_K=25,
+        analytical=False,
+    )
+    verts = np.asarray(fields["vertices"])[s_idx]
+    normal = np.asarray(fields["normal"])[s_idx]
+    x = centers[t_idx]
+
+    for i in range(len(t_idx)):
+        xi = x[i]
+
+        def sl(qp):
+            d = qp - xi
+            r2 = (d * d).sum(1)
+            r3 = r2 * np.sqrt(r2)
+            return (
+                r2[:, None, None] * np.eye(3)
+                + d[:, :, None] * d[:, None, :]
+            ) / r3[:, None, None]
+
+        def stl(qp):
+            d = xi - qp
+            r2 = (d * d).sum(1)
+            r5 = r2 * r2 * np.sqrt(r2)
+            return (d @ normal[i])[:, None, None] * (
+                d[:, :, None] * d[:, None, :]
+            ) / r5[:, None, None]
+
+        oSL = _refined_quad(sl, verts[i], depth=5)  # /(2 mu) applied below
+        oST = _refined_quad(stl, verts[i], depth=5) * -3.0
+        sv = np.abs(oSL).max()
+        st = max(np.abs(oST).max(), 1e-6)
+        errA_v = np.abs(va[i] - oSL).max() / sv
+        errQ_v = np.abs(vq[i] - oSL).max() / sv
+        errA_t = np.abs(ta[i] - oST).max() / st
+        errQ_t = np.abs(tq[i] - oST).max() / st
+        assert errA_v < 5e-6, (i, errA_v)
+        assert errA_t < 5e-5, (i, errA_t)
+        assert errA_v <= errQ_v + 1e-9
+        assert errA_t <= errQ_t + 1e-7

@@ -20,18 +20,8 @@ def _rel(a, b):
     return float(np.linalg.norm(a - b) / np.linalg.norm(b))
 
 
-def _make(recursions=3, max_p=10):
-    tris = unit_sphere(recursions)
-    fields = make_panels(tris, K=4)  # ref StokesBEM defaults K=4
-    kern = StokesBEMKernel(K=4, fine_K=19, mu=MU)
-    plan = FmmPlan(
-        kern, fields, FMMConfig(ncrit=32, dtype="float64", max_p=max_p)
-    )
-    return tris, fields, kern, plan
-
-
-def test_stokes_bem_matvec_matches_dense():
-    tris, fields, kern, plan = _make()
+def test_stokes_bem_matvec_matches_dense(stokes_plan64):
+    tris, fields, kern, plan = stokes_plan64
     n = len(tris)
     rng = np.random.default_rng(0)
     q = rng.standard_normal((n, 3))
@@ -45,10 +35,10 @@ def test_stokes_bem_matvec_matches_dense():
     assert _rel(res_f, Af @ q.reshape(-1)) < 5e-4
 
 
-def test_stokes_bem_rhs_sanity():
+def test_stokes_bem_rhs_sanity(stokes_plan64):
     """Double-layer identity: traction operator applied to uniform
     velocity = 4*pi*u on the sphere (ref StokesBEM.cpp:273-278)."""
-    tris, fields, kern, plan = _make()
+    tris, fields, kern, plan = stokes_plan64
     n = len(tris)
     u = np.tile(np.array([1.0, 0.0, 0.0]), (n, 1))
     b = np.asarray(plan.apply_flipped_bc(u, p=10))
@@ -57,11 +47,11 @@ def test_stokes_bem_rhs_sanity():
     assert np.abs(b[:, 1:]).max() < 0.5
 
 
-def test_stokes_bem_drag():
+def test_stokes_bem_drag(stokes_plan64):
     """Solve for traction of uniform flow past the unit sphere; drag
     F_x = sum t_x * area must approach Stokes law 6*pi*mu
     (ref StokesBEM.cpp:336-365)."""
-    tris, fields, kern, plan = _make()
+    tris, fields, kern, plan = stokes_plan64
     n = len(tris)
     b = np.tile(np.array([4 * np.pi, 0.0, 0.0]), (n, 1)).reshape(-1)
 

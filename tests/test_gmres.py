@@ -279,21 +279,13 @@ def test_fmgmres_device_matches_host_quality():
     assert np.allclose(np.asarray(x), np.linalg.solve(A, b), atol=1e-5)
 
 
-def test_fmgmres_on_stokes_bem_reduces_outer_iterations():
+def test_fmgmres_on_stokes_bem_reduces_outer_iterations(stokes_plan64):
     """The reference workload: inner relaxed GMRES on the same Stokes
-    plan preconditioning the outer flexible solve (fmgmres.hpp)."""
-    from fmm_bem_tpu.bem.panels import make_panels
-    from fmm_bem_tpu.bem.triangulation import unit_sphere
-    from fmm_bem_tpu.kernels.stokes_bem import StokesBEMKernel
-
-    tris = unit_sphere(3)
-    fields = make_panels(tris, K=4)
+    plan preconditioning the outer flexible solve (fmgmres.hpp).
+    Shares the session Stokes plan — this test used to rebuild an
+    identical plan and dominated the suite at 123 s."""
+    tris, fields, kern, plan = stokes_plan64
     n = len(tris)
-    plan = FmmPlan(
-        StokesBEMKernel(K=4, fine_K=19, mu=1e-3),
-        fields,
-        FMMConfig(ncrit=32, dtype="float64", max_p=10),
-    )
     b = np.tile(np.array([4 * np.pi, 0.0, 0.0]), (n, 1)).reshape(-1)
 
     def mv(x, p):

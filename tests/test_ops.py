@@ -70,15 +70,21 @@ def test_linear_tables_match_runtime_ops():
     fields = make_panels(tris, K=3)
     n = len(tris)
     q = np.random.default_rng(3).standard_normal(n)
+    # max_p=6: the default 16 precomputes f64 tables an order of
+    # magnitude larger than the p=5 comparison ever reads (this test
+    # was 68 s of pure table build)
     pa = FmmPlan(
-        LaplaceBEMKernel(K=3), fields, FMMConfig(ncrit=16, dtype="float64")
+        LaplaceBEMKernel(K=3), fields,
+        FMMConfig(ncrit=16, dtype="float64", max_p=6),
     )
     kb = LaplaceBEMKernel(K=3)
     kb.linear_p2m = False
     if hasattr(type(kb), "l2p_table"):
         # instance-level shadow so the plan skips the table path
         pb = FmmPlan(
-            kb, fields, FMMConfig(ncrit=16, dtype="float64", near_panel=False)
+            kb, fields,
+            FMMConfig(ncrit=16, dtype="float64", max_p=6,
+                      near_panel=False),
         )
         pb_aux = pb.variant_aux(5)
         assert "p2m_tab" not in pb_aux

@@ -1,0 +1,62 @@
+"""Phase-telemetry instrument tests (utils/roofline.py).
+
+The numbers themselves are hardware measurements and can't be pinned on
+CI, but the instrument's invariants can: the isotonic cleanup, the
+phase structure, non-negativity, and that the phases telescope to the
+measured pipeline total by construction.
+"""
+
+import numpy as np
+
+from fmm_bem_tpu.bem.panels import make_panels
+from fmm_bem_tpu.bem.triangulation import unit_sphere
+from fmm_bem_tpu.config import FMMConfig
+from fmm_bem_tpu.executor.plan import FmmPlan
+from fmm_bem_tpu.kernels.laplace_bem import LaplaceBEMKernel
+from fmm_bem_tpu.utils.roofline import (
+    _pava_nondecreasing,
+    phase_breakdown,
+)
+
+
+def test_pava_nondecreasing():
+    assert _pava_nondecreasing([1.0, 2.0, 3.0]) == [1.0, 2.0, 3.0]
+    assert _pava_nondecreasing([1.0, 2.0, 1.5, 3.0]) == [
+        1.0, 1.75, 1.75, 3.0,
+    ]
+    # all-decreasing pools to the mean
+    out = _pava_nondecreasing([3.0, 2.0, 1.0])
+    assert np.allclose(out, [2.0, 2.0, 2.0])
+    # least-squares monotone fit never decreases
+    rng = np.random.default_rng(0)
+    y = rng.standard_normal(50).cumsum() + rng.standard_normal(50)
+    fit = _pava_nondecreasing(y)
+    assert all(b >= a - 1e-12 for a, b in zip(fit, fit[1:]))
+    assert len(fit) == len(y)
+
+
+def test_phase_breakdown_structure():
+    tris = unit_sphere(3)
+    fields = make_panels(tris, K=3)
+    plan = FmmPlan(
+        LaplaceBEMKernel(K=3),
+        fields,
+        FMMConfig(ncrit=16, dtype="float32", max_p=6),
+    )
+    out = phase_breakdown(
+        plan, 5, chain=4, iters=1, repeats=1, solo=True
+    )
+    for ph in ("p2m", "m2m", "m2l", "l2l", "l2p", "near"):
+        assert ph in out, ph
+        assert out[ph]["ms"] >= 0.0
+        assert "ms_solo" in out[ph]
+    t = out["total"]
+    assert t["ms"] >= 0.0 and t["matvec_ms"] >= 0.0
+    # phases telescope to the pipeline total by construction
+    s = sum(out[ph]["ms"] for ph in
+            ("p2m", "m2m", "m2l", "l2l", "l2p", "near"))
+    assert abs(s - t["ms"]) < 1e-6
+    # sum_ratio only emitted when both totals are above the timer
+    # floor (tiny CPU problems may legitimately return None)
+    if t["sum_ratio"] is not None:
+        assert t["sum_ratio"] > 0.0

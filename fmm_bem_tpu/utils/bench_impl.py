@@ -68,8 +68,12 @@ def run(backend="default", recursions=7, p=5, iters=10, chain=50):
         LaplaceBEMKernel(K=3),
         fields,
         # max_p 10: the phase record runs at both p=5 and p=10, and the
-        # first-kind relaxed solve uses tiers (3, 5, 10)
-        FMMConfig(ncrit=64, dtype="float32", max_p=max(p, 10)),
+        # first-kind relaxed solve uses tiers (3, 5, 10).
+        # leaf_pad 64: ncrit bounds leaf occupancy at 64 anyway; the
+        # even tile makes the near-field chunk lanes exactly
+        # m0*KS*cdim = 128 (no relayout pad) and keeps sublanes aligned
+        FMMConfig(ncrit=64, dtype="float32", max_p=max(p, 10),
+                  leaf_pad=64),
     )
     build_s = time.time() - t0
     note(f"plan built ({build_s:.1f}s)")
@@ -99,43 +103,106 @@ def run(backend="default", recursions=7, p=5, iters=10, chain=50):
 
     # NOTE: block_until_ready does not actually block on tunneled
     # backends — every timing below forces a device->host transfer
-    # (np.asarray) and subtracts the measured transfer baseline.
+    # (np.asarray) and subtracts a baseline measured with the SAME
+    # argument signature (per-call dispatch overhead scales with the
+    # operand pytree; a q-only baseline under-subtracts by tens of ms).
+    # Each timed call gets a distinct charge vector and the minimum
+    # over calls is reported (the per-call overhead carries ~15 ms of
+    # jitter the min rejects).
     @jax.jit
-    def ident(q):
+    def ident(operand, q):
         return q * 1.0000001
 
     q = to_slots(jnp.ones(n, jnp.float32))
+    qs = [q * (1.0 + 1e-5 * r) for r in range(iters)]
+    for qr in qs:
+        qr.block_until_ready()
     note("compiling chained matvec")
-    np.asarray(ident(q))
+    np.asarray(ident(operand, q))
     t0 = time.time()
     out = np.asarray(chained(operand, q))
     compile_s = time.time() - t0
     note(f"chain compiled ({compile_s:.1f}s); timing")
 
-    t0 = time.time()
-    for _ in range(iters):
-        np.asarray(ident(q))
-    t_base = (time.time() - t0) / iters
+    t_base = np.inf
+    for r in range(iters):
+        t0 = time.time()
+        np.asarray(ident(operand, qs[r]))
+        t_base = min(t_base, time.time() - t0)
 
-    t0 = time.time()
-    for _ in range(iters):
-        out = np.asarray(chained(operand, q))
-    dt = max((time.time() - t0) / iters - t_base, 1e-9) / chain
+    dt = np.inf
+    for r in range(iters):
+        t0 = time.time()
+        out = np.asarray(chained(operand, qs[r]))
+        dt = min(dt, time.time() - t0)
+    dt = max(dt - t_base, 1e-9) / chain
 
     stage_s = {"chain_done": round(time.time() - t_start, 1)}
     note("chain timed")
 
-    # single dispatched matvec (includes host + tunnel overhead)
+    # every stage below is optional enrichment of the headline number —
+    # a transient tunnel failure (observed: "response body closed")
+    # must not lose the record, so stages run guarded and the current
+    # record is re-printed as stages land (the driver parses the LAST
+    # json line on stdout)
     qn = np.ones(n, dtype=np.float32)
     dt_single = None
-    if elapsed() < budget - 240:
+    solve_s = None
+    sol_err = None
+    info = None
+    near_equiv = None
+    fk = None
+    phases = {"pending": True}
+    phases_p10 = None
+
+    def result():
+        value = (float(n) * float(n)) / dt
+        return {
+            "backend": platform,
+            "n_panels": n,
+            "p": p,
+            "matvec_s": dt,
+            "matvec_dispatched_s": dt_single,
+            "build_s": build_s,
+            "compile_s": compile_s,
+            "solve_s": solve_s,
+            "solve_iters": None if info is None else info.iterations,
+            "solve_converged": None if info is None
+            else bool(info.converged),
+            "solution_err": sol_err,
+            "near_equiv_err": near_equiv,
+            "solve_first_kind_relaxed": fk,
+            "stage_s": dict(stage_s),
+            "phases": phases,
+            "phases_p10": phases_p10,
+            "value": value,
+        }
+
+    def checkpoint():
+        print(json.dumps(result()), flush=True)
+
+    checkpoint()
+
+    def stage(name, fn, margin):
+        if elapsed() >= budget - margin:
+            note(f"{name}: skipped (budget)")
+            return
+        try:
+            fn()
+        except Exception as e:  # transient tunnel/compile failures
+            note(f"{name} FAILED: {type(e).__name__}: {e}")
+        stage_s[f"{name}_done"] = round(time.time() - t_start, 1)
+        checkpoint()
+
+    def _dispatched():
+        nonlocal dt_single
         np.asarray(plan.apply(qn, p=p))
         t0 = time.time()
         for _ in range(iters):
-            out1 = np.asarray(plan.apply(qn, p=p))
+            np.asarray(plan.apply(qn, p=p))
         dt_single = (time.time() - t0) / iters
 
-    stage_s["dispatched_done"] = round(time.time() - t_start, 1)
+    stage("dispatched", _dispatched, 240)
 
     # GMRES solve wall-clock (the BASELINE.md secondary metric):
     # second-kind sphere equation (well-conditioned; ref -second_kind
@@ -145,10 +212,16 @@ def run(backend="default", recursions=7, p=5, iters=10, chain=50):
     from fmm_bem_tpu.config import SolverConfig
     from fmm_bem_tpu.solver.gmres import DeviceGmresContext, gmres_device
 
-    solve_s = None
-    sol_err = None
-    info = None
-    if elapsed() < budget - 150:
+    def _solve():
+        # second-kind sphere equation (well-conditioned; ref
+        # -second_kind mode): system = dGdn operator (flipped BC),
+        # RHS = G . (dphi/dn=1), analytic solution phi = 1.  The
+        # reference's default residual tolerance (SolverOptions.hpp:23)
+        # is achievable in f32 on TPU since the framework forces
+        # true-f32 matmul precision — and the device solver verifies
+        # the TRUE residual after back-substitution, unlike the
+        # reference which trusts the Givens recurrence
+        nonlocal solve_s, sol_err, info
         b = np.asarray(plan.apply(qn, p=p)[:, 0])
         slot_f = plan.solver_ops_slots(flipped=True)
         if slot_f is not None:
@@ -157,28 +230,23 @@ def run(backend="default", recursions=7, p=5, iters=10, chain=50):
         else:
             mvf, op4pf = plan.solver_ops(flipped=True)
             from_s = lambda x: x
-        # the reference's default residual tolerance
-        # (SolverOptions.hpp:23); achievable in f32 on TPU since the
-        # framework forces true-f32 matmul precision (see
-        # fmm_bem_tpu/__init__.py) — and the device solver verifies the
-        # TRUE residual after back-substitution, unlike the reference
-        # which trusts the Givens recurrence
         cfg = SolverConfig(residual=1e-5, max_p=p, max_iters=60, restart=60)
         ctx = DeviceGmresContext()
         # compile pass (tier executable + finish), then timed solve
-        x, info = gmres_device(
+        x, info_ = gmres_device(
             mvf, b, operand_for_p=op4pf, config=cfg, p_fixed=p, context=ctx
         )
         t0 = time.time()
-        x, info = gmres_device(
+        x, info_ = gmres_device(
             mvf, b, operand_for_p=op4pf, config=cfg, p_fixed=p, context=ctx
         )
         solve_s = time.time() - t0
+        info = info_
         sol_err = float(
             np.linalg.norm(np.asarray(from_s(x)) - 1.0) / np.sqrt(n)
         )
 
-    stage_s["solve_done"] = round(time.time() - t_start, 1)
+    stage("solve", _solve, 150)
     note("solve done")
 
     # the reference's DEFAULT workload: the FIRST-kind equation
@@ -186,8 +254,10 @@ def run(backend="default", recursions=7, p=5, iters=10, chain=50):
     # relaxed p quantised to TPU tiers (the recommended relaxed mode,
     # results/RELAX_TPU.md).  System = G operator (unflipped BC),
     # RHS = dGdn . phi via the flipped-BC matvec; analytic dphi/dn = 1.
-    fk = None
-    if elapsed() < budget - 180 and slot_ops is not None:
+    def _first_kind():
+        nonlocal fk
+        if slot_ops is None:
+            return
         note("first-kind relaxed solve (tiers 3/5/10)")
         bfk = to_slots(
             jnp.asarray(np.asarray(plan.apply_flipped_bc(qn, p=10)[:, 0]))
@@ -220,15 +290,16 @@ def run(backend="default", recursions=7, p=5, iters=10, chain=50):
             f"first-kind relaxed: {infof.iterations} its, "
             f"{fk_s:.2f}s, converged={infof.converged}"
         )
-    stage_s["first_kind_done"] = round(time.time() - t_start, 1)
 
-    # near-field kernel equivalence ON THIS BACKEND (the Pallas panel
-    # contraction vs the reference einsum on identical device arrays) —
-    # the numerical guard the CPU-only test suite cannot provide
-    from fmm_bem_tpu.ops.near_panel import panel_matvec
+    stage("first_kind", _first_kind, 180)
 
-    near_equiv = None
-    if elapsed() < budget - 120:
+    def _near_equiv():
+        # near-field kernel equivalence ON THIS BACKEND (the Pallas
+        # panel contraction vs the reference einsum on identical device
+        # arrays) — the numerical guard the CPU-only suite cannot give
+        nonlocal near_equiv
+        from fmm_bem_tpu.ops.near_panel import panel_matvec
+
         d = plan.device_data(p)
         aux = plan.variant_aux(p)
         qm = jnp.asarray(qn)[d["s_perm"]]
@@ -248,11 +319,8 @@ def run(backend="default", recursions=7, p=5, iters=10, chain=50):
             / max(np.linalg.norm(o_ein), 1e-30)
         )
 
-    # per-phase device timings + roofline scores (the reference's
-    # per-matvec P2P/M2L split, EvalInteractionLazy.hpp:137-152,
-    # upgraded with %-of-peak accounting)
-    stage_s["near_equiv_done"] = round(time.time() - t_start, 1)
-    note("near equiv done; phases")
+    stage("near_equiv", _near_equiv, 120)
+    note("phases next")
 
     from fmm_bem_tpu.utils.roofline import phase_breakdown
 
@@ -266,51 +334,20 @@ def run(backend="default", recursions=7, p=5, iters=10, chain=50):
             for k, v in d.items()
         }
 
-    def result(phases, phases_p10):
-        value = (float(n) * float(n)) / dt
-        return {
-            "backend": platform,
-            "n_panels": n,
-            "p": p,
-            "matvec_s": dt,
-            "matvec_dispatched_s": dt_single,
-            "build_s": build_s,
-            "compile_s": compile_s,
-            "solve_s": solve_s,
-            "solve_iters": None if info is None else info.iterations,
-            "solve_converged": None if info is None
-            else bool(info.converged),
-            "solution_err": sol_err,
-            "near_equiv_err": near_equiv,
-            "solve_first_kind_relaxed": fk,
-            "stage_s": dict(stage_s),
-            "phases": phases,
-            "phases_p10": phases_p10,
-            "value": value,
-        }
-
-    # ---- print the headline record NOW: the phase split below costs
-    # ~15 jit compiles (7 pipeline prefixes per order) and a cold
-    # tunnel compile can blow any budget — a killed process must not
-    # lose the measurement (the driver parses the LAST json line)
-    print(json.dumps(result(
-        {"pending": True}, None
-    )), flush=True)
-
-    phases = {"skipped_elapsed_s": round(time.time() - t_start, 1)}
-    phases_p10 = None
-    if elapsed() < budget - 240:
+    def _phases_p5():
+        nonlocal phases
         phases = _round(phase_breakdown(plan, p, chain=16, iters=2))
-        stage_s["phases_p5_done"] = round(time.time() - t_start, 1)
-        note("p=5 phases done")
-    if elapsed() < budget - 180:
-        note("phases at p=10")
+
+    def _phases_p10():
+        nonlocal phases_p10
         phases_p10 = _round(
             phase_breakdown(plan, 10, chain=16, iters=2, repeats=2)
         )
-        stage_s["phases_p10_done"] = round(time.time() - t_start, 1)
 
-    return result(phases, phases_p10)
+    stage("phases_p5", _phases_p5, 240)
+    stage("phases_p10", _phases_p10, 180)
+
+    return result()
 
 
 if __name__ == "__main__":

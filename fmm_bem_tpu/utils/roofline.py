@@ -91,11 +91,20 @@ def _flop_byte_model(plan, p):
     )
     npairs = len(plan.m2l_tile_src)
     ntile = npairs // max(plan.m2l_tile_size, 1) if npairs else 0
+    # matrix bytes depend on the path _phase_m2l takes at this p: the
+    # grouped small-W path streams one block-diagonal [128, 128] per
+    # tile GROUP (see plan._device_data)
+    G = 128 // max(W, 1)
+    G = min(1 << (G.bit_length() - 1), 8) if G >= 1 else 1
+    if G >= 4 and ntile and ntile % G == 0:
+        mat_bytes = (ntile // G) * 128 * 128
+    else:
+        mat_bytes = ntile * W * W
     model["m2l"] = (
         2.0 * npairs * cW * W,
-        # gathered expansions in+out, one W x W matrix per TILE, and
-        # the bucket-sum re-read
-        (3 * npairs * cW + ntile * W * W) * it,
+        # gathered expansions in+out, the class matrices, and the
+        # bucket-sum re-read
+        (3 * npairs * cW + mat_bytes) * it,
     )
     model["l2l"] = model["m2m"]
     model["l2p"] = (
@@ -189,7 +198,7 @@ def _phase_fns(plan, p, aux_keys, slot_ops):
     return fns
 
 
-def phase_breakdown(plan, p, q=None, chain=24, iters=2, repeats=3,
+def phase_breakdown(plan, p, q=None, chain=48, iters=1, repeats=4,
                     solo=False):
     """Measure the matvec phases on the current backend.
 
@@ -260,20 +269,28 @@ def phase_breakdown(plan, p, q=None, chain=24, iters=2, repeats=3,
         return jax.jit(run_)
 
     # baseline: a null function with the SAME argument signature as
-    # the prefix runs.  Per-call cost is dominated not only by the
-    # device->host sync but by host-side pytree flattening of the big
-    # (d, aux, sf) dicts (~30 ms on CPU hosts) — a baseline that takes
-    # only ``x`` under-subtracts and buries the small phases.
+    # the prefix runs.  Per-call cost on the tunneled backend is
+    # dominated by a ~60-90 ms (sigma ~15 ms) dispatch + pytree
+    # overhead for the big (d, aux, sf) dicts — a baseline that takes
+    # only ``x`` under-subtracts, and short chains drown the phase
+    # increments in that jitter (hence chain >= 48 + min-of-repeats).
     @jax.jit
     def ident(d_, aux_, sf_, x):
         return x * 1.0000001
 
+    # distinct input per repeat: repeated identical executions can in
+    # principle be coalesced by caching layers; distinct charges make
+    # every call unambiguous work
+    qs = [qm0 * (1.0 + 1e-5 * r) for r in range(repeats)]
+    for x in qs:
+        x.block_until_ready()
+
     np.asarray(ident(d, aux, sf, qm0))
     t_base = np.inf
-    for _ in range(repeats):
+    for r in range(repeats):
         t0 = time.time()
         for _ in range(iters):
-            np.asarray(ident(d, aux, sf, qm0))
+            np.asarray(ident(d, aux, sf, qs[r]))
         t_base = min(t_base, (time.time() - t0) / iters)
 
     # compile all prefixes, then round-robin timing with min-of-repeats
@@ -281,11 +298,11 @@ def phase_breakdown(plan, p, q=None, chain=24, iters=2, repeats=3,
     for run in prefixes:
         np.asarray(run(d, aux, sf, qm0))
     cum = [np.inf] * len(fns)
-    for _ in range(repeats):
+    for r in range(repeats):
         for k, run in enumerate(prefixes):
             t0 = time.time()
             for _ in range(iters):
-                np.asarray(run(d, aux, sf, qm0))
+                np.asarray(run(d, aux, sf, qs[r]))
             dt_k = max((time.time() - t0) / iters - t_base, 0.0) / chain
             cum[k] = min(cum[k], dt_k)
     cum = _pava_nondecreasing(cum)
@@ -315,18 +332,18 @@ def phase_breakdown(plan, p, q=None, chain=24, iters=2, repeats=3,
 
     np.asarray(ident_op(operand, qm0))
     mv_base = np.inf
-    for _ in range(repeats):
+    for r in range(repeats):
         t0 = time.time()
         for _ in range(iters):
-            np.asarray(ident_op(operand, qm0))
+            np.asarray(ident_op(operand, qs[r]))
         mv_base = min(mv_base, (time.time() - t0) / iters)
 
     np.asarray(mv_chain(operand, qm0))
     mv_t = np.inf
-    for _ in range(repeats):
+    for r in range(repeats):
         t0 = time.time()
         for _ in range(iters):
-            np.asarray(mv_chain(operand, qm0))
+            np.asarray(mv_chain(operand, qs[r]))
         mv_t = min(
             mv_t,
             max((time.time() - t0) / iters - mv_base, 1e-9) / chain,
@@ -358,11 +375,14 @@ def phase_breakdown(plan, p, q=None, chain=24, iters=2, repeats=3,
 
             run = jax.jit(run_)
             np.asarray(run(d, aux, sf, x0))
+            x0s = [x0 * (1.0 + 1e-5 * r) for r in range(repeats)]
+            for xr in x0s:
+                xr.block_until_ready()
             best = np.inf
-            for _ in range(max(repeats - 1, 1)):
+            for r in range(max(repeats - 1, 1)):
                 t0 = time.time()
                 for _ in range(iters):
-                    np.asarray(run(d, aux, sf, x0))
+                    np.asarray(run(d, aux, sf, x0s[r]))
                 best = min(
                     best,
                     max((time.time() - t0) / iters - t_base, 1e-9)

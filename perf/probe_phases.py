@@ -13,8 +13,11 @@ arguments (closure capture embeds arrays as compile-time constants,
 which the tunneled remote compile rejects / uploads at glacial speed).
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -139,8 +142,8 @@ def main():
 
     timed("m2l full phase",
           lambda d_, M_: plan._phase_m2l(d_, M_, P), d, M,
-          bytes_=(3 * npairs_pad * cW + ntile * cW * cW) * 4,
-          flops=2.0 * npairs_pad * cW * cW)
+          bytes_=(3 * npairs_pad * cW + ntile * W * W) * 4,
+          flops=2.0 * npairs_pad * cW * W)
 
     timed("  gather Mg",
           lambda d_, M_: M_[d_["m2l_tile_src"]], d, M,
@@ -149,24 +152,26 @@ def main():
     timed("  gather mats",
           lambda d_, M_: (d_["m2l_mats"] * (1.0 + M_[0, 0]))[
               d_["m2l_tile_cls"]],
-          d, M, bytes_=2 * ntile * cW * cW * 4)
+          d, M, bytes_=2 * ntile * W * W * 4)
+
+    ncomp = plan.kernel.ncomp
 
     def one_mat_einsum(d_, M_):
-        Mg = M_[d_["m2l_tile_src"]].reshape(ntile, TS, cW)
+        Mg = M_[d_["m2l_tile_src"]].reshape(ntile, TS * ncomp, W)
         return jnp.einsum(
             "tpw,vw->tpv", Mg, d_["m2l_mats"][0]
         ).reshape(npairs_pad, cW)
 
     timed("  gather+einsum(1 shared mat)", one_mat_einsum, d, M,
-          flops=2.0 * npairs_pad * cW * cW)
+          flops=2.0 * npairs_pad * cW * W)
 
     def g_einsum(d_, M_):
-        Mg = M_[d_["m2l_tile_src"]].reshape(ntile, TS, cW)
+        Mg = M_[d_["m2l_tile_src"]].reshape(ntile, TS * ncomp, W)
         mats = d_["m2l_mats"][d_["m2l_tile_cls"]]
         return jnp.einsum("tpw,tvw->tpv", Mg, mats).reshape(npairs_pad, cW)
 
     timed("  gather+einsum", g_einsum, d, M,
-          flops=2.0 * npairs_pad * cW * cW)
+          flops=2.0 * npairs_pad * cW * W)
 
     outp = jax.block_until_ready(jax.jit(g_einsum)(d, M))
     from fmm_bem_tpu.ops.bucket_sum import bucket_sum_apply

@@ -829,52 +829,6 @@ class FmmPlan:
             d["near_cols"] = jnp.asarray(self.near_cols)
             d["near_vals"] = jnp.asarray(self.near_vals, dt)
 
-        # ---- grouped M2L (small-W tiers): fold G tiles of DIFFERENT
-        # classes into one [TS*ncomp, G*W] x [G*W(->128), 128] matmul
-        # with a block-diagonal class matrix.  At p=5 the plain tile
-        # einsum is 6464 separate [64, 30] x [30, 30] MXU passes —
-        # pass-LATENCY bound at ~0.3 TF/s; grouping to a 128-lane
-        # contraction quarters the pass count at dense-MXU shapes.
-        # Only worthwhile while the block-diagonal zero padding stays
-        # modest: G >= 4 (W <= 32).
-        W = self.kernel.width(p)
-        ncomp = self.kernel.ncomp
-        ntile = len(self.m2l_tile_src) // max(self.m2l_tile_size, 1)
-        G = 128 // max(W, 1)
-        G = 1 << (G.bit_length() - 1) if G >= 1 else 1  # pow2 floor
-        G = min(G, 8)
-        if G >= 4 and ntile and ntile % G == 0:
-            TS = self.m2l_tile_size
-            ng = ntile // G
-            Wp = 128
-            ts_ = self.m2l_tile_src.reshape(ng, G, TS)
-            # gather index into M viewed as [nbox*ncomp, W]:
-            # row (pair pr, comp) of group g, block j -> src*ncomp+comp
-            idx = (
-                ts_[:, :, :, None].astype(np.int64) * ncomp
-                + np.arange(ncomp)[None, None, None, :]
-            )  # [ng, G, TS, ncomp]
-            idx = idx.transpose(0, 2, 3, 1)  # [ng, TS, ncomp, G]
-            d["m2l_grows"] = jnp.asarray(
-                idx.reshape(ng, TS * ncomp, G).astype(np.int32)
-            )
-
-            def build_bd(mats, cls):
-                gm = mats.transpose(0, 2, 1)[cls].reshape(ng, G, W, W)
-                B = jnp.zeros((ng, Wp, Wp), dt)
-                for j in range(G):
-                    B = B.at[
-                        :, j * W : (j + 1) * W, j * W : (j + 1) * W
-                    ].set(gm[:, j])
-                return B
-
-            # NOTE: G is recovered from m2l_grows.shape[2] at trace
-            # time — a bare int in this dict would become a traced jit
-            # argument and poison shape computations
-            d["m2l_bd"] = jax.jit(build_bd)(
-                d["m2l_mats"], jnp.asarray(self.m2l_tile_cls)
-            )
-
         def level_arrays(levels):
             return [
                 [
@@ -1379,31 +1333,19 @@ class FmmPlan:
         TS = self.m2l_tile_size
         W = kern.width(p)
         ntile = npairs_pad // TS
-        if "m2l_bd" in d:
-            # grouped path (see _device_data): G tiles per matmul with
-            # a block-diagonal class matrix on 128 lanes
-            G = d["m2l_grows"].shape[2]
-            ng = ntile // G
-            TSnc = TS * kern.ncomp
-            Mg = M.reshape(-1, W)[d["m2l_grows"]]  # [ng, TSnc, G, W]
-            Mrow = Mg.reshape(ng, TSnc, G * W)
-            if G * W < 128:
-                Mrow = jnp.pad(Mrow, ((0, 0), (0, 0), (0, 128 - G * W)))
-            outg = jnp.einsum("gpw,gwv->gpv", Mrow, d["m2l_bd"])
-            outp = (
-                outg[..., : G * W]
-                .reshape(ng, TSnc, G, W)
-                .transpose(0, 2, 1, 3)
-                .reshape(npairs_pad, cW)
-            )
-        else:
-            # fold the component axis into matmul rows (flat layout is
-            # component-major): [TS*ncomp, W] x [W, W] per tile, no kron
-            Mg = M[d["m2l_tile_src"]].reshape(ntile, TS * kern.ncomp, W)
-            mats = d["m2l_mats"][d["m2l_tile_cls"]]  # [ntile, W, W]
-            outp = jnp.einsum("tpw,tvw->tpv", Mg, mats).reshape(
-                npairs_pad, cW
-            )
+        # fold the component axis into matmul rows (flat layout is
+        # component-major): [TS*ncomp, W] x [W, W] per tile, no kron.
+        # Measured alternatives at 131k/p=5 (round 4): TS=64/128 tiles
+        # are 2-2.6x SLOWER (class padding grows the streamed pair
+        # bytes faster than bigger matmuls pay back), and folding 4
+        # tiles into one [64, 128] x [128, 128] block-diagonal matmul
+        # is 15% slower (the 4.5x matrix-byte inflation beats the
+        # MXU-pass saving) — the phase is byte-bound, not pass-bound.
+        Mg = M[d["m2l_tile_src"]].reshape(ntile, TS * kern.ncomp, W)
+        mats = d["m2l_mats"][d["m2l_tile_cls"]]  # [ntile, W, W]
+        outp = jnp.einsum("tpw,tvw->tpv", Mg, mats).reshape(
+            npairs_pad, cW
+        )
         return bucket_sum_apply(d["m2l_bsum"], outp)
 
     def _phase_l2l(self, d, L):

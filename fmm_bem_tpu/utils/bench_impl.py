@@ -335,14 +335,16 @@ def run(backend="default", recursions=7, p=5, iters=10, chain=50):
         }
 
     def _phases_p5():
+        # the bench headline (min-of-10 chained calls) is the most
+        # robust matvec number in this record — it anchors sum_ratio
         nonlocal phases
-        phases = _round(phase_breakdown(plan, p, chain=16, iters=2))
+        phases = _round(
+            phase_breakdown(plan, p, mv_ms_ref=dt * 1e3)
+        )
 
     def _phases_p10():
         nonlocal phases_p10
-        phases_p10 = _round(
-            phase_breakdown(plan, 10, chain=16, iters=2, repeats=2)
-        )
+        phases_p10 = _round(phase_breakdown(plan, 10))
 
     stage("phases_p5", _phases_p5, 240)
     stage("phases_p10", _phases_p10, 180)

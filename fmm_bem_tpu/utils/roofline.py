@@ -78,10 +78,12 @@ def _flop_byte_model(plan, p):
     cdim = getattr(kern, "charge_dim", 1)
 
     model = {}
-    # P2M table: slot-ordered cdim x cW contribution + tile reduce
+    # P2M table: one stream of the slot-ordered table + the box write
+    # (the charge broadcast, tile reduce and scatter fuse — XLA keeps
+    # the contribution rows in registers, so they are not re-read)
     model["p2m"] = (
         2.0 * nl * K * cW * cdim,
-        (2 * nl * K * cW * cdim + nbox * cW) * it,
+        (nl * K * cW * cdim + nbox * cW) * it,
     )
     nch = nbox - 1
     # translation matmuls are de-kron'd: [rows*ncomp, W] x [W, W]
@@ -91,20 +93,11 @@ def _flop_byte_model(plan, p):
     )
     npairs = len(plan.m2l_tile_src)
     ntile = npairs // max(plan.m2l_tile_size, 1) if npairs else 0
-    # matrix bytes depend on the path _phase_m2l takes at this p: the
-    # grouped small-W path streams one block-diagonal [128, 128] per
-    # tile GROUP (see plan._device_data)
-    G = 128 // max(W, 1)
-    G = min(1 << (G.bit_length() - 1), 8) if G >= 1 else 1
-    if G >= 4 and ntile and ntile % G == 0:
-        mat_bytes = (ntile // G) * 128 * 128
-    else:
-        mat_bytes = ntile * W * W
     model["m2l"] = (
         2.0 * npairs * cW * W,
-        # gathered expansions in+out, the class matrices, and the
-        # bucket-sum re-read
-        (3 * npairs * cW + mat_bytes) * it,
+        # gathered expansions in+out, one W x W matrix per TILE, and
+        # the bucket-sum re-read
+        (3 * npairs * cW + ntile * W * W) * it,
     )
     model["l2l"] = model["m2m"]
     model["l2p"] = (
@@ -198,15 +191,19 @@ def _phase_fns(plan, p, aux_keys, slot_ops):
     return fns
 
 
-def phase_breakdown(plan, p, q=None, chain=48, iters=1, repeats=4,
-                    solo=False):
+def phase_breakdown(plan, p, q=None, chain=96, iters=1, repeats=3,
+                    solo=False, mv_ms_ref=None):
     """Measure the matvec phases on the current backend.
 
     Returns {phase: {"ms", "gflops", "gbs", "pct_mxu", "pct_hbm"}} plus
     a "total" entry {"ms", "matvec_ms", "sum_ratio"} where sum_ratio =
     (sum of phases) / (independently timed production matvec) — the
     self-consistency check; trust the per-phase numbers only when it is
-    within ~15% of 1.  With ``solo=True`` each phase also carries
+    within ~15% of 1.  ``mv_ms_ref`` supplies an externally measured
+    production-matvec ms for that reference (e.g. the bench headline,
+    min-of-10 chained calls) — preferred when available, since one
+    extra internal measurement is one extra exposure to the tunnel's
+    per-call jitter.  With ``solo=True`` each phase also carries
     "ms_solo", the round-3 isolated-scan measurement (upper bound:
     includes per-launch and carry overheads the pipeline amortises).
     """
@@ -310,44 +307,48 @@ def phase_breakdown(plan, p, q=None, chain=48, iters=1, repeats=4,
         cum[k] - cum[k - 1] for k in range(1, len(cum))
     ]
 
-    # independent production-matvec chain: the ground truth the phases
-    # must sum to (solver_ops mv includes the same phases + final mask)
-    if slot_ops is not None:
-        mv, op4p = slot_ops[0], slot_ops[1]
+    # production-matvec reference the phases must sum to: externally
+    # supplied when available, else an internal chain measurement
+    # (solver_ops mv includes the same phases + final mask)
+    if mv_ms_ref is not None:
+        mv_t = mv_ms_ref / 1e3
     else:
-        mv, op4p = plan.solver_ops()
-    operand = op4p(p)
+        if slot_ops is not None:
+            mv, op4p = slot_ops[0], slot_ops[1]
+        else:
+            mv, op4p = plan.solver_ops()
+        operand = op4p(p)
 
-    @jax.jit
-    def mv_chain(operand, x):
-        def step(x, _):
-            return mix(x, mv(operand, x, p)), None
+        @jax.jit
+        def mv_chain(operand, x):
+            def step(x, _):
+                return mix(x, mv(operand, x, p)), None
 
-        y, _ = jax.lax.scan(step, x, None, length=chain)
-        return y
+            y, _ = jax.lax.scan(step, x, None, length=chain)
+            return y
 
-    @jax.jit
-    def ident_op(operand, x):
-        return x * 1.0000001
+        @jax.jit
+        def ident_op(operand, x):
+            return x * 1.0000001
 
-    np.asarray(ident_op(operand, qm0))
-    mv_base = np.inf
-    for r in range(repeats):
-        t0 = time.time()
-        for _ in range(iters):
-            np.asarray(ident_op(operand, qs[r]))
-        mv_base = min(mv_base, (time.time() - t0) / iters)
+        np.asarray(ident_op(operand, qm0))
+        mv_base = np.inf
+        for r in range(repeats):
+            t0 = time.time()
+            for _ in range(iters):
+                np.asarray(ident_op(operand, qs[r]))
+            mv_base = min(mv_base, (time.time() - t0) / iters)
 
-    np.asarray(mv_chain(operand, qm0))
-    mv_t = np.inf
-    for r in range(repeats):
-        t0 = time.time()
-        for _ in range(iters):
-            np.asarray(mv_chain(operand, qs[r]))
-        mv_t = min(
-            mv_t,
-            max((time.time() - t0) / iters - mv_base, 1e-9) / chain,
-        )
+        np.asarray(mv_chain(operand, qm0))
+        mv_t = np.inf
+        for r in range(repeats):
+            t0 = time.time()
+            for _ in range(iters):
+                np.asarray(mv_chain(operand, qs[r]))
+            mv_t = min(
+                mv_t,
+                max((time.time() - t0) / iters - mv_base, 1e-9) / chain,
+            )
 
     # optional solo cross-check (round-3 method: isolated chained scans
     # on materialised phase inputs)

@@ -434,8 +434,155 @@ def gmres_device(
     # stall guard (see host gmres): raise the order when a whole tier
     # block improves the residual by less than 2x
     p_boost = 0
+    min_idx_h = 0  # fused-cascade floor tier (sticky, like p_boost)
     STALL_WIN, STALL_FACTOR = 4, 0.5
     tiny = jnp.asarray(np.finfo(np.dtype(dt)).tiny * 1e3, dt)
+    # fused tier cascade (see make_fused): active tiers, ascending
+    fused_tiers = tuple(
+        sorted({min(t, cfg.max_p) for t in (cfg.p_tiers or ())})
+    )
+    use_fused = relaxed and len(fused_tiers) >= 1
+
+    def make_arnoldi(cap):
+        """One Arnoldi iteration given the new Krylov vector w: fused
+        modified Gram-Schmidt (+ one re-orthogonalisation pass) against
+        the cap-row basis, then the Givens update of column i."""
+
+        def arnoldi(w, V, H, cs, sn, s, i, normb):
+            mask = (jnp.arange(cap) <= i)[:, None]
+            Vm = jnp.where(mask, V, jnp.zeros_like(V))
+            c1 = Vm @ w
+            w = w - c1 @ Vm
+            c2 = Vm @ w
+            w = w - c2 @ Vm
+            coeffs = c1 + c2
+            hn = jnp.linalg.norm(w)
+            V2 = jax.lax.dynamic_update_slice_in_dim(
+                V, (w / jnp.maximum(hn, tiny))[None], i + 1, 0
+            )
+            # H column is full-restart length; the cap-row basis
+            # contributes its coefficients to the first cap entries
+            cfull = jnp.zeros(restart + 1, dt).at[: cap].set(coeffs)
+            col = jnp.where(jnp.arange(restart + 1) <= i, cfull, 0.0)
+            col = col.at[i + 1].set(hn)
+
+            # apply the accumulated Givens rotations to the new column
+            def rot(k, h):
+                hk = h[k]
+                hk1 = h[k + 1]
+                t = cs[k] * hk + sn[k] * hk1
+                h = h.at[k + 1].set(-sn[k] * hk + cs[k] * hk1)
+                return h.at[k].set(t)
+
+            col = jax.lax.fori_loop(0, i, rot, col)
+            dx_, dy_ = col[i], col[i + 1]
+            r_ = jnp.sqrt(dx_ * dx_ + dy_ * dy_)
+            ci = jnp.where(r_ > 0, dx_ / jnp.maximum(r_, tiny), 1.0)
+            si = jnp.where(r_ > 0, dy_ / jnp.maximum(r_, tiny), 0.0)
+            col = col.at[i].set(r_).at[i + 1].set(0.0)
+            cs2 = cs.at[i].set(ci)
+            sn2 = sn.at[i].set(si)
+            H2 = jax.lax.dynamic_update_slice(
+                H, col[:, None], (jnp.zeros_like(i), i)
+            )
+            s_i = s[i]
+            s2 = s.at[i + 1].set(-si * s_i).at[i].set(ci * s_i)
+            resid = jnp.abs(s2[i + 1]) / normb
+            return V2, H2, cs2, sn2, s2, resid
+
+        return arnoldi
+
+    def make_fused(cap):
+        """The WHOLE relaxed tier cascade in one executable: the inner
+        while_loop picks the active tier per iteration with lax.switch
+        over per-tier matvecs, runs the Bouras/Simoncini schedule, the
+        stall guard and tier demotion fully in-loop, and records the
+        per-iteration tier for the (it, res, p) history.
+
+        Rationale: with per-p executables the solver pays one
+        host<->device round trip per tier CHANGE; on the tunneled chip
+        a round trip (~80 ms) costs more than the entire 15-iteration
+        matvec sequence (~35 ms), which made every relaxed mode slower
+        than fixed-p in results/RELAX_TPU round 3/4a.  One fused call
+        per restart cycle reduces the relaxed solve to the same
+        dispatch count as fixed-p while keeping the paper's inexact
+        schedule (ref GMRES.hpp:195-225 + SolverOptions.hpp:25-38).
+        """
+        nt = len(fused_tiers)
+        tiers_arr = jnp.asarray(fused_tiers, jnp.int32)
+        raw_cfg = dataclasses.replace(cfg, p_tiers=None)
+        stop_tol = cfg.residual
+        arnoldi = make_arnoldi(cap)
+
+        def fused(
+            operands, V, Z, H, cs, sn, s, i, resid, it_left, normb,
+            min_idx0,
+        ):
+            r_buf0 = jnp.full((STALL_WIN,), jnp.inf, dt)
+            hist0 = jnp.full((restart,), -1, jnp.int32)
+
+            def tier_idx(resid, min_idx):
+                p_raw = _device_predict_p(resid, raw_cfg, 0)
+                idx = jnp.searchsorted(tiers_arr, p_raw, side="left")
+                idx = jnp.clip(idx, 0, nt - 1)
+                return jnp.maximum(idx, min_idx)
+
+            def cond(st):
+                (V, Z, H, cs, sn, s, i, resid, it_left, r_buf, k,
+                 min_idx, hist) = st
+                return (
+                    (i < cap - 1) & (it_left > 0) & (resid >= stop_tol)
+                )
+
+            def body(st):
+                (V, Z, H, cs, sn, s, i, resid, it_left, r_buf, k,
+                 min_idx, hist) = st
+                idx = tier_idx(resid, min_idx)
+                v = jax.lax.dynamic_slice_in_dim(V, i, 1)[0]
+                z = M(v)
+                if flexible:
+                    Z = jax.lax.dynamic_update_slice_in_dim(
+                        Z, z[None], i, 0
+                    )
+                branches = [
+                    (lambda z, j=j: matvec(
+                        operands[j], z, fused_tiers[j]
+                    ))
+                    for j in range(nt)
+                ]
+                w = jax.lax.switch(idx, branches, z)
+                V2, H2, cs2, sn2, s2, resid = arnoldi(
+                    w, V, H, cs, sn, s, i, normb
+                )
+                hist = hist.at[i].set(idx)
+                # in-loop stall guard: when the last STALL_WIN
+                # iterations improved the residual by less than 2x,
+                # demote to the next tier up (sticky) and restart the
+                # window
+                old = r_buf[k % STALL_WIN]
+                stalled = (k >= STALL_WIN) & (
+                    resid > STALL_FACTOR * old
+                ) & (resid >= stop_tol)
+                min_idx = jnp.where(
+                    stalled, jnp.minimum(min_idx + 1, nt - 1), min_idx
+                )
+                r_buf = jnp.where(
+                    stalled,
+                    jnp.full((STALL_WIN,), jnp.inf, dt),
+                    r_buf.at[k % STALL_WIN].set(resid),
+                )
+                k = jnp.where(stalled, 0, k + 1)
+                return (V2, Z, H2, cs2, sn2, s2, i + 1, resid,
+                        it_left - 1, r_buf, k, min_idx, hist)
+
+            st = jax.lax.while_loop(
+                cond, body,
+                (V, Z, H, cs, sn, s, i, resid, it_left, r_buf0,
+                 jnp.asarray(0, jnp.int32), min_idx0, hist0),
+            )
+            return st[:8] + (st[11], st[12])
+
+        return jax.jit(fused)
 
     def make_tier(p, cap):
         # ``cap`` is the current Krylov-basis capacity (V rows).  The
@@ -449,19 +596,36 @@ def gmres_device(
         def tier(
             operand, V, Z, H, cs, sn, s, i, resid, it_left, normb, boost
         ):
+            # the stall guard runs INSIDE the loop: r_buf holds the
+            # residuals of the last STALL_WIN iterations, and the loop
+            # exits with stalled=True when a window improves by less
+            # than 2x.  Round 3 capped tier blocks at 8 iterations so
+            # the HOST could check for stalls — at ~80 ms per
+            # host<->device round trip on the tunnel that made every
+            # relaxed mode ~3x slower than fixed-p (results/RELAX_TPU
+            # round 3); in-loop detection lets a tier run to its
+            # schedule boundary in ONE device call.
+            r_buf0 = jnp.full((STALL_WIN,), jnp.inf, dt)
+            k0 = jnp.asarray(0, jnp.int32)
+            stalled0 = jnp.asarray(False)
+
             def cond(st):
-                (V, Z, H, cs, sn, s, i, resid, it_left) = st
+                (V, Z, H, cs, sn, s, i, resid, it_left, r_buf, k,
+                 stalled) = st
                 ok = (i < cap - 1) & (it_left > 0) & (resid >= stop_tol)
                 if relaxed:
                     # leave when the schedule (plus any stall boost)
-                    # wants a smaller order
-                    ok = ok & (
+                    # wants a smaller order, or on a detected stall
+                    ok = ok & (~stalled) & (
                         _device_predict_p(resid, cfg, boost) >= p
                     )
                 return ok
 
+            arnoldi = make_arnoldi(cap)
+
             def body(st):
-                (V, Z, H, cs, sn, s, i, resid, it_left) = st
+                (V, Z, H, cs, sn, s, i, resid, it_left, r_buf, k,
+                 stalled) = st
                 v = jax.lax.dynamic_slice_in_dim(V, i, 1)[0]
                 z = M(v)
                 if flexible:
@@ -469,51 +633,24 @@ def gmres_device(
                         Z, z[None], i, 0
                     )
                 w = matvec(operand, z, p)
-                # fused modified Gram-Schmidt + one re-orthogonalisation
-                mask = (jnp.arange(cap) <= i)[:, None]
-                Vm = jnp.where(mask, V, jnp.zeros_like(V))
-                c1 = Vm @ w
-                w = w - c1 @ Vm
-                c2 = Vm @ w
-                w = w - c2 @ Vm
-                coeffs = c1 + c2
-                hn = jnp.linalg.norm(w)
-                V2 = jax.lax.dynamic_update_slice_in_dim(
-                    V, (w / jnp.maximum(hn, tiny))[None], i + 1, 0
+                V2, H2, cs2, sn2, s2, resid = arnoldi(
+                    w, V, H, cs, sn, s, i, normb
                 )
-                # H column is full-restart length; the cap-row basis
-                # contributes its coefficients to the first cap entries
-                cfull = jnp.zeros(restart + 1, dt).at[: cap].set(coeffs)
-                col = jnp.where(jnp.arange(restart + 1) <= i, cfull, 0.0)
-                col = col.at[i + 1].set(hn)
+                if relaxed:
+                    old = r_buf[k % STALL_WIN]
+                    stalled = (k >= STALL_WIN) & (
+                        resid > STALL_FACTOR * old
+                    ) & (resid >= stop_tol)
+                    r_buf = r_buf.at[k % STALL_WIN].set(resid)
+                return (V2, Z, H2, cs2, sn2, s2, i + 1, resid,
+                        it_left - 1, r_buf, k + 1, stalled)
 
-                # apply the accumulated Givens rotations to the new column
-                def rot(k, h):
-                    hk = h[k]
-                    hk1 = h[k + 1]
-                    t = cs[k] * hk + sn[k] * hk1
-                    h = h.at[k + 1].set(-sn[k] * hk + cs[k] * hk1)
-                    return h.at[k].set(t)
-
-                col = jax.lax.fori_loop(0, i, rot, col)
-                dx_, dy_ = col[i], col[i + 1]
-                r_ = jnp.sqrt(dx_ * dx_ + dy_ * dy_)
-                ci = jnp.where(r_ > 0, dx_ / jnp.maximum(r_, tiny), 1.0)
-                si = jnp.where(r_ > 0, dy_ / jnp.maximum(r_, tiny), 0.0)
-                col = col.at[i].set(r_).at[i + 1].set(0.0)
-                cs2 = cs.at[i].set(ci)
-                sn2 = sn.at[i].set(si)
-                H2 = jax.lax.dynamic_update_slice(
-                    H, col[:, None], (jnp.zeros_like(i), i)
-                )
-                s_i = s[i]
-                s2 = s.at[i + 1].set(-si * s_i).at[i].set(ci * s_i)
-                resid = jnp.abs(s2[i + 1]) / normb
-                return (V2, Z, H2, cs2, sn2, s2, i + 1, resid, it_left - 1)
-
-            return jax.lax.while_loop(
-                cond, body, (V, Z, H, cs, sn, s, i, resid, it_left)
+            st = jax.lax.while_loop(
+                cond, body,
+                (V, Z, H, cs, sn, s, i, resid, it_left, r_buf0, k0,
+                 stalled0),
             )
+            return st[:8] + (st[11],)
 
         return jax.jit(tier)
 
@@ -608,24 +745,37 @@ def gmres_device(
             resid_dev = jnp.asarray(resid, dt)
 
         while True:
-            p = cfg.schedule_p(resid, p_fixed, boost=p_boost)
-            if (p, cap) not in ctx.tier_fns:
-                ctx.tier_fns[(p, cap)] = make_tier(p, cap)
-            tier_fn = ctx.tier_fns[(p, cap)]
             block = cfg.max_iters - total_it
             if checkpoint_path is not None:
                 block = min(block, checkpoint_every)
-            if relaxed:
-                # bound tier length so a plateauing tier returns to the
-                # host, where the stall guard can raise the order
-                block = min(block, 2 * STALL_WIN)
             it_left = jnp.asarray(block, jnp.int32)
-            resid_entry = resid
-            st = tier_fn(
-                operand_for_p(p), V, Z, H, cs, sn, s, i, resid_dev,
-                it_left, normb_arr, jnp.asarray(p_boost, jnp.int32),
-            )
-            (V, Z, H, cs, sn, s, i_new, resid_dev, _) = st
+            if use_fused:
+                # one call runs the whole tier cascade (see make_fused)
+                key = ("fused", cap)
+                if key not in ctx.tier_fns:
+                    ctx.tier_fns[key] = make_fused(cap)
+                if not hasattr(ctx, "_fused_operands"):
+                    ctx._fused_operands = tuple(
+                        operand_for_p(t) for t in fused_tiers
+                    )
+                st = ctx.tier_fns[key](
+                    ctx._fused_operands, V, Z, H, cs, sn, s, i,
+                    resid_dev, it_left, normb_arr,
+                    jnp.asarray(min_idx_h, jnp.int32),
+                )
+                (V, Z, H, cs, sn, s, i_new, resid_dev, min_idx_dev,
+                 hist_dev) = st
+                stalled_dev = False  # demotion handled in-loop
+                p = None
+            else:
+                p = cfg.schedule_p(resid, p_fixed, boost=p_boost)
+                if (p, cap) not in ctx.tier_fns:
+                    ctx.tier_fns[(p, cap)] = make_tier(p, cap)
+                st = ctx.tier_fns[(p, cap)](
+                    operand_for_p(p), V, Z, H, cs, sn, s, i, resid_dev,
+                    it_left, normb_arr, jnp.asarray(p_boost, jnp.int32),
+                )
+                (V, Z, H, cs, sn, s, i_new, resid_dev, stalled_dev) = st
             i_new_h = int(i_new)
             i_old_h = int(i)
             steps = i_new_h - i_old_h
@@ -634,21 +784,33 @@ def gmres_device(
             # at tier entry (mirrors the reference's per-iteration print,
             # GMRES.hpp:225)
             sn_h = np.asarray(sn)[i_old_h:i_new_h]
+            if use_fused:
+                hist_h = np.asarray(hist_dev)[i_old_h:i_new_h]
+                p_of = [
+                    fused_tiers[j] if 0 <= j < len(fused_tiers) else -1
+                    for j in hist_h
+                ]
+                min_idx_h = int(min_idx_dev)
             run = resid * normb
             for k, snk in enumerate(sn_h):
                 run *= abs(snk)
-                history.append((total_it + k + 1, run / normb, p))
+                history.append((
+                    total_it + k + 1, run / normb,
+                    p_of[k] if use_fused else p,
+                ))
             total_it += steps
             resid = float(resid_dev)
             i = i_new
             if (
-                relaxed
-                and steps >= STALL_WIN
+                not use_fused
+                and relaxed
+                and bool(stalled_dev)
                 and resid >= cfg.residual
-                and resid > STALL_FACTOR * resid_entry
                 and p < cfg.max_p
             ):
                 p_boost += 2
+            if use_fused and steps:
+                p = p_of[-1]
             if verbose and steps:
                 print(
                     f"it: {total_it:4d}  res: {resid:.3e}  fmm_req_p: {p}"
@@ -704,6 +866,8 @@ def gmres_device(
             # restarted cycle (sticky, like the stall boost)
             if relaxed and p_boost < cfg.max_p:
                 p_boost += 2
+            if use_fused:
+                min_idx_h = min(min_idx_h + 1, len(fused_tiers) - 1)
 
     return x, SolveInfo(total_it, resid, False, history)
 

@@ -75,6 +75,19 @@ def main():
     print(f"calibrated eps(p): c={calib[0]}, gamma={calib[1]}", flush=True)
 
     def run(label, cfg, p_fixed):
+        # the tunneled backend drops a connection every ~15 min of
+        # sustained compiles; one retry rebuilds the executable cache
+        # from the persistent compile cache in seconds
+        for attempt in range(3):
+            try:
+                return _run(label, cfg, p_fixed)
+            except Exception as e:
+                print(f"{label}: attempt {attempt} failed "
+                      f"({type(e).__name__}); retrying", flush=True)
+                time.sleep(5)
+        return _run(label, cfg, p_fixed)
+
+    def _run(label, cfg, p_fixed):
         ctx = DeviceGmresContext()
         times = []
         for rep in range(2):

@@ -155,3 +155,68 @@ def test_p_tier_quantization():
         host = cfg.schedule_p(resid)
         dev = int(_device_predict_p(jnp.float64(resid), cfg))
         assert host == dev, (resid, host, dev)
+
+
+def test_fused_tier_cascade_matches_continuous_device():
+    """With p_tiers set, gmres_device runs the WHOLE tier cascade in
+    one compiled executable (lax.switch over per-tier matvecs, schedule
+    + stall guard in-loop).  It must (a) converge to the same solution
+    as the continuous-schedule device solver, (b) use only configured
+    tiers in its history, and (c) keep the stall-demotion behaviour on
+    an inexactness-polluted operator."""
+    import jax.numpy as jnp
+
+    n = 48
+    rng = np.random.default_rng(7)
+    A = np.eye(n) * 3.0 + 0.3 * rng.standard_normal((n, n))
+    Aj = jnp.asarray(A)
+
+    # p-dependent inexactness: exact at p >= 8
+    E = jnp.asarray(rng.standard_normal((n, n)) / np.sqrt(n))
+
+    def matvec(operand, x, p):
+        y = Aj @ x
+        if p < 8:
+            y = y + (2.0 ** -p) * (E @ x)
+        return y
+
+    b = np.ones(n)
+    cfg = SolverConfig(
+        residual=1e-8, max_iters=80, restart=80, max_p=10, p_min=1,
+        p_tiers=(3, 5, 10),
+    )
+    x_f, info_f = gmres_device(matvec, b, config=cfg)
+    assert info_f.converged
+    ps = {h[2] for h in info_f.history}
+    assert ps <= {3, 5, 10}, ps
+    # relaxation actually relaxed (not pinned at the top tier)
+    assert min(ps) < 10
+
+    cfg_c = SolverConfig(
+        residual=1e-8, max_iters=80, restart=80, max_p=10, p_min=1,
+    )
+    x_c, info_c = gmres_device(matvec, b, config=cfg_c)
+    assert info_c.converged
+    exact = np.linalg.solve(A, b)
+    for x in (x_f, x_c):
+        rel = np.linalg.norm(np.asarray(x) - exact) / np.linalg.norm(exact)
+        assert rel < 1e-6, rel
+
+
+def test_fused_tier_cascade_stall_demotes_and_converges():
+    from test_relaxation import _stalling_matvec  # self-import safe
+
+    n = 40
+    A, matvec = _stalling_matvec(n, err=5.0)
+    b = np.ones(n)
+    cfg = SolverConfig(
+        residual=1e-8, max_iters=80, restart=80, max_p=10, p_min=1,
+        p_tiers=(3, 5, 10),
+    )
+    x, info = gmres_device(
+        lambda operand, x, p: matvec(x, p), b, config=cfg
+    )
+    assert info.converged, (info.residual, info.iterations)
+    exact = np.linalg.solve(A, b)
+    rel = np.linalg.norm(np.asarray(x) - exact) / np.linalg.norm(exact)
+    assert rel < 1e-6, rel

@@ -45,6 +45,11 @@ LEAF_TILE = 8
 #: candidate chunk widths (source leaves per chunk)
 M0_CANDIDATES = (2, 4, 6, 8, 12, 16, 24, 32)
 
+#: device-assembly one-shot limit: above this transient-bytes estimate
+#: the quadrature blocks + A gather run in row chunks (tests shrink it
+#: to force the chunked path on small meshes)
+ONE_SHOT_LIMIT = 2 << 30
+
 
 def choose_m0(m_per, KSc, candidates=M0_CANDIDATES):
     """Chunk width minimising total padded panel bytes.
@@ -343,19 +348,23 @@ def build_near_panels_on_device(
         pair_key = ts.astype(np.int64) * mult + ss
         entry_key = t_slot[rows].astype(np.int64) * mult + s_slot[cols]
         pidx_e = np.searchsorted(pair_key, entry_key)
-        base = pidx_e.astype(np.int64) * KTr * KSc
         rr = (t_pos[rows] * rdim).astype(np.int64)
         cc = (s_pos[cols] * cdim).astype(np.int64)
-        idx = (
-            base[:, None, None]
-            + (rr[:, None] + np.arange(rdim))[:, :, None] * KSc
-            + (cc[:, None] + np.arange(cdim))[:, None, :]
-        ).reshape(-1)
-        corr_idx = idx
-        corr_vals = vals3.reshape(-1)
     else:
-        corr_idx = np.zeros(0, np.int64)
-        corr_vals = np.zeros(0)
+        pidx_e = np.zeros(0, np.int64)
+        rr = cc = np.zeros(0, np.int64)
+        vals3 = np.zeros((0, rdim, cdim))
+
+    def _flat_idx(pe, rre, cce):
+        """Flat indices into a [*, KTr, KSc] block array for the
+        near-singular correction entries (1-D scatter lowers far
+        better than a 3-index one)."""
+        base = pe.astype(np.int64) * KTr * KSc
+        return (
+            base[:, None, None]
+            + (rre[:, None] + np.arange(rdim))[:, :, None] * KSc
+            + (cce[:, None] + np.arange(cdim))[:, None, :]
+        ).reshape(-1)
 
     if m0 is None:
         m0 = choose_m0(np.diff(row_ptr), KSc)
@@ -365,38 +374,134 @@ def build_near_panels_on_device(
         row_ptr, m0, npairs, ss_l, nl_src, nl_t, bl
     )
     Cpad = pair_ids.shape[0]
-
-    # device stage 1 (plan-cached jit): quadrature blocks.
-    # device stage 2 (jit cached across BC variants via ``jit_cache``):
-    # flat correction scatter + one chunk gather/transpose/pad.  Eager
-    # per-op dispatch over a remote backend costs seconds per op, and a
-    # fresh jit per variant would recompile the whole assembly.
-    def assemble(blocks, corr_idx_d, corr_vals_d, pair_ids_d):
-        flat = blocks.reshape(-1)
-        flat = flat.at[corr_idx_d].set(corr_vals_d)
-        blocks = flat.reshape(npairs, KTr, KSc)
-        blocks_z = jnp.concatenate(
-            [blocks, jnp.zeros((1, KTr, KSc), blocks.dtype)], axis=0
-        )
-        blk = blocks_z[pair_ids_d]  # [Cpad, m0, KTr, KSc]
-        A = blk.transpose(0, 2, 1, 3).reshape(Cpad, KTr, m0 * KSc)
-        if Lb > m0 * KSc:
-            A = jnp.pad(A, ((0, 0), (0, 0), (0, Lb - m0 * KSc)))
-        return A
-
     dt = jnp.dtype(dtype)
-    key = ("assemble", npairs, KTr, KSc, Cpad, m0, len(corr_idx))
     if jit_cache is None:
         jit_cache = {}
-    if key not in jit_cache:
-        jit_cache[key] = jax.jit(assemble)
-    blocks = blocks_fn(jnp.asarray(ss), jnp.asarray(ts))
-    A_dev = jit_cache[key](
-        blocks,
-        jnp.asarray(corr_idx),
-        jnp.asarray(corr_vals, dt),
-        jnp.asarray(pair_ids),
-    )
+
+    # the quadrature-block computation materialises per-pair
+    # [KT, KS, 3] geometry — ~16 KB/pair of transient HBM.  One shot
+    # at 524k panels (330k pairs) is a 16 GB temp: past ~2 GB the
+    # assembly runs in row-chunks, computing only each chunk's pair
+    # RANGE (pairs are target-sorted, so a row chunk's pairs are
+    # contiguous) with one fixed padded-range executable.
+    one_shot_bytes = npairs * KT * KS * 16
+    if one_shot_bytes <= ONE_SHOT_LIMIT:
+        def assemble(blocks, corr_idx_d, corr_vals_d, pair_ids_d):
+            flat = blocks.reshape(-1)
+            flat = flat.at[corr_idx_d].set(corr_vals_d)
+            blocks = flat.reshape(npairs, KTr, KSc)
+            blocks_z = jnp.concatenate(
+                [blocks, jnp.zeros((1, KTr, KSc), blocks.dtype)],
+                axis=0,
+            )
+            blk = blocks_z[pair_ids_d]  # [Cpad, m0, KTr, KSc]
+            A = blk.transpose(0, 2, 1, 3).reshape(
+                Cpad, KTr, m0 * KSc
+            )
+            if Lb > m0 * KSc:
+                A = jnp.pad(A, ((0, 0), (0, 0), (0, Lb - m0 * KSc)))
+            return A
+
+        corr_idx = _flat_idx(pidx_e, rr, cc)
+        key = ("assemble", npairs, KTr, KSc, Cpad, m0, len(corr_idx))
+        if key not in jit_cache:
+            jit_cache[key] = jax.jit(assemble)
+        blocks = blocks_fn(jnp.asarray(ss), jnp.asarray(ts))
+        A_dev = jit_cache[key](
+            blocks,
+            jnp.asarray(corr_idx),
+            jnp.asarray(vals3.reshape(-1), dt),
+            jnp.asarray(pair_ids),
+        )
+    else:
+        budget_pairs = (1 << 30) // (KT * KS * 16)
+        CH = max(bl, (budget_pairs // max(m0, 1)) // bl * bl)
+        spans = []
+        PR = 1
+        for c0 in range(0, Cpad, CH):
+            pids = pair_ids[c0 : c0 + CH]
+            real = pids[pids < npairs]
+            lo = int(real.min()) if len(real) else 0
+            hi = int(real.max()) + 1 if len(real) else 0
+            spans.append((c0, lo, hi))
+            PR = max(PR, hi - lo)
+        ss_p = np.concatenate([ss, np.zeros(PR, ss.dtype)])
+        ts_p = np.concatenate([ts, np.zeros(PR, ts.dtype)])
+
+        def assemble_chunk(blocks, corr_idx_d, corr_vals_d, pair_ids_d):
+            flat = blocks.reshape(-1)
+            # out-of-bucket padding indices drop instead of clipping
+            flat = flat.at[corr_idx_d].set(corr_vals_d, mode="drop")
+            blocks = flat.reshape(PR, KTr, KSc)
+            blocks_z = jnp.concatenate(
+                [blocks, jnp.zeros((1, KTr, KSc), blocks.dtype)],
+                axis=0,
+            )
+            blk = blocks_z[pair_ids_d]  # [CH, m0, KTr, KSc]
+            A = blk.transpose(0, 2, 1, 3).reshape(CH, KTr, m0 * KSc)
+            if Lb > m0 * KSc:
+                A = jnp.pad(A, ((0, 0), (0, 0), (0, Lb - m0 * KSc)))
+            return A
+
+        # chunks land in a preallocated A via donated dynamic updates —
+        # a final concatenate would transiently DOUBLE the multi-GB
+        # panel store and OOM exactly at the sizes this path exists for
+        key_u = ("assemble_upd", Cpad, CH, KTr, Lb)
+        if key_u not in jit_cache:
+            jit_cache[key_u] = jax.jit(
+                lambda A, part, c0: jax.lax.dynamic_update_slice(
+                    A, part, (c0, 0, 0)
+                ),
+                donate_argnums=0,
+            )
+        A_dev = jnp.zeros((Cpad, KTr, Lb), dt)
+        for c0, lo, hi in spans:
+            pids = pair_ids[c0 : c0 + CH]
+            if pids.shape[0] < CH:  # tail: pad rows with dummies
+                pids = np.concatenate([
+                    pids,
+                    np.full((CH - pids.shape[0], m0), npairs, np.int32),
+                ])
+            pl = np.where(
+                (pids < npairs) & (pids >= lo) & (pids < hi),
+                pids - lo, PR,
+            ).astype(np.int32)
+            sel = (pidx_e >= lo) & (pidx_e < hi)
+            idxl = _flat_idx(pidx_e[sel] - lo, rr[sel], cc[sel])
+            vl = vals3[sel].reshape(-1)
+            # bucket the correction count so chunks share executables
+            nb = max(1 << (max(len(idxl), 1) - 1).bit_length(), 16)
+            oob = PR * KTr * KSc + 1  # dropped by mode="drop"
+            idxl = np.concatenate(
+                [idxl, np.full(nb - len(idxl), oob, np.int64)]
+            )
+            vl = np.concatenate([vl, np.zeros(nb - len(vl))])
+            key = ("assemble_ch", PR, CH, KTr, KSc, m0, nb)
+            if key not in jit_cache:
+                jit_cache[key] = jax.jit(assemble_chunk)
+            blocks = blocks_fn(
+                jnp.asarray(ss_p[lo : lo + PR]),
+                jnp.asarray(ts_p[lo : lo + PR]),
+            )
+            part = jit_cache[key](
+                blocks,
+                jnp.asarray(idxl),
+                jnp.asarray(vl, dt),
+                jnp.asarray(pl),
+            )
+            if c0 + CH > Cpad:  # tail rows were padded with dummies
+                part = part[: Cpad - c0]
+                upd = jax.jit(
+                    lambda A, part, c0=c0: jax.lax.dynamic_update_slice(
+                        A, part, (c0, 0, 0)
+                    ),
+                    donate_argnums=0,
+                )
+                A_dev = upd(A_dev, part)
+            else:
+                A_dev = jit_cache[key_u](
+                    A_dev, part, jnp.asarray(c0, jnp.int32)
+                )
 
     meta = NearPanels(
         A=None,

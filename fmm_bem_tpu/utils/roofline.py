@@ -178,6 +178,15 @@ def _phase_fns(plan, p, aux_keys, slot_ops):
             return plan._near_pass_slots(aux["panels"], q)
         return plan._near_pass(d, aux["panels"], sf, q[d["s_perm"]])
 
+    def p2p(d, aux, sf, q):
+        nl_t = len(plan.tgt.leaf_ids)
+        K_t = plan.tgt.leaf_pad
+        if slot_ops is not None:
+            return plan._p2p_pass(
+                d, sf, sf, q, nl_t, K_t, slots=True
+            )
+        return plan._p2p_pass(d, sf, sf, q[d["s_perm"]], nl_t, K_t)
+
     fns = [
         ("p2m", p2m, "q"),
         ("m2m", lambda d, aux, sf, M: plan._phase_m2m(d, M), "state"),
@@ -188,6 +197,9 @@ def _phase_fns(plan, p, aux_keys, slot_ops):
     ]
     if "panels" in aux_keys:
         fns.append(("near", near, "q"))
+    elif len(plan.p2p_src_slot):
+        # point kernels: the direct P2P leaf pass (no cached panels)
+        fns.append(("p2p", p2p, "q"))
     return fns
 
 

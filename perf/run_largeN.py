@@ -37,10 +37,15 @@ from fmm_bem_tpu.kernels.laplace import LaplaceKernel
 from fmm_bem_tpu.kernels.laplace_bem import LaplaceBEMKernel
 
 P = 5
-QUICK = len(sys.argv) > 1 and sys.argv[1] == "quick"
+MODE = sys.argv[1] if len(sys.argv) > 1 else "all"
+QUICK = MODE == "quick"
 
 
-def time_matvec(plan, n, chain=30, iters=3):
+def time_matvec(plan, n, chain=None, iters=3):
+    # bound single-call wall-clock: multi-second device calls have
+    # been observed to trip the tunnel worker's keepalive
+    if chain is None:
+        chain = 30 if n <= 300_000 else 8
     slot_ops = plan.solver_ops_slots()
     if slot_ops is not None:
         mv, op4p, to_slots, _, _ = slot_ops
@@ -53,7 +58,11 @@ def time_matvec(plan, n, chain=30, iters=3):
     @jax.jit
     def chained(operand, x):
         def step(x, _):
-            return mv(operand, x, P), None
+            # mix-style carry: works for any result rank (point
+            # kernels return [n, 4] potential+force) while forcing
+            # sequential execution
+            out = mv(operand, x, P)
+            return x * (1.0 + 1e-30 * out.sum()), None
 
         y, _ = jax.lax.scan(step, x, None, length=chain)
         return y
@@ -91,7 +100,24 @@ def main():
     out = {"backend": backend, "p": P, "bem": [], "points": []}
     print(f"backend={backend} p={P}", flush=True)
 
-    recs = (7, 8) if QUICK else (7, 8, 9)
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "results", "LARGE_N.json",
+    )
+    # merge into an existing record so bem/points legs can run (and
+    # recover from tunnel drops) independently
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                prev = json.load(f)
+            out["bem"] = prev.get("bem", [])
+            out["points"] = prev.get("points", [])
+        except Exception:
+            pass
+
+    recs = () if MODE == "points" else ((7, 8) if QUICK else (7, 8, 9))
+    if recs:
+        out["bem"] = []
     for rec in recs:
         tris = unit_sphere(rec)
         n = len(tris)
@@ -115,8 +141,14 @@ def main():
         print(rec_d, flush=True)
         del plan
 
-    for n in ((250_000,) if QUICK else (125_000, 250_000, 500_000,
-                                        1_000_000)):
+    nlist = (
+        () if MODE == "bem"
+        else (250_000,) if QUICK
+        else (125_000, 250_000, 500_000, 1_000_000)
+    )
+    if nlist:
+        out["points"] = []
+    for n in nlist:
         rng = np.random.default_rng(0)
         pts = rng.uniform(0, 1, (n, 3))
         t0 = time.time()

@@ -125,3 +125,37 @@ def test_panel_pallas_interpret_matches_einsum():
         interpret=True,
     )(A, x)
     assert np.allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_device_near_assembly_chunked_matches_one_shot():
+    """The row-chunked device assembly (large-N path: the one-shot
+    quadrature-block temp would OOM at 524k panels) must produce
+    exactly the same panels as the one-shot path."""
+    from fmm_bem_tpu.ops import near_panel as npnl
+
+    tris = unit_sphere(3)
+    fields = make_panels(tris, K=3)
+    # f32 on CPU so the device-assembly path is exercised
+    cfg = FMMConfig(ncrit=16, dtype="float32", max_p=6)
+    pa = FmmPlan(LaplaceBEMKernel(K=3), fields, cfg)
+    assert getattr(pa, "_device_near", False), "device path not active"
+    dev_one, meta_one = pa.near_panels()
+    A_one = np.asarray(dev_one["A"])
+
+    old = npnl.ONE_SHOT_LIMIT
+    npnl.ONE_SHOT_LIMIT = 1  # force chunked assembly
+    try:
+        pb = FmmPlan(LaplaceBEMKernel(K=3), fields, cfg)
+        dev_ch, meta_ch = pb.near_panels()
+    finally:
+        npnl.ONE_SHOT_LIMIT = old
+    A_ch = np.asarray(dev_ch["A"])
+    assert A_one.shape == A_ch.shape
+    assert np.array_equal(
+        np.asarray(dev_one["pidx"]), np.asarray(dev_ch["pidx"])
+    )
+    assert np.array_equal(
+        np.asarray(dev_one["chunk_tgt"]), np.asarray(dev_ch["chunk_tgt"])
+    )
+    scale = np.abs(A_one).max()
+    assert np.abs(A_one - A_ch).max() <= 1e-6 * scale

@@ -1592,10 +1592,10 @@ class LetPlan:
                 if self.flipped
                 else self.plan.src.fields
             )
-            panel_bytes = sum(
-                int(np.prod(A.shape[1:])) * A.dtype.itemsize
-                for A in panels["A"]
-            )
+            # panels["A"] is ONE stacked [ndev, Cmax, KTr, Lb] array
+            # (uniform chunks, round 4); per-device state is the slice
+            A = panels["A"]
+            panel_bytes = int(np.prod(A.shape[1:])) * A.dtype.itemsize
         W = self.plan.kernel.width(self.plan.config.max_p)
         cW = self.plan.kernel.ncomp * W
         itemsize = jnp.dtype(self.dtype).itemsize

@@ -225,16 +225,35 @@ class LaplaceKernel:
 
         Mirrors Direct.hpp's double loop / operator() (ref
         LaplaceSpherical.hpp:153-162) as one broadcast block.
+
+        Layout note: every intermediate is a [Bt, Bs] plane — a
+        [Bt, Bs, 3] difference tensor would put the coordinate axis on
+        the minor (lane) dimension, which TPU tiling pads 3 -> 128
+        (measured ~40x memory inflation; this single shape made the
+        vmapped point P2P run at <1% of VPU peak).  The force uses
+        f_d = sum_s w*(s_d - t_d) = (w @ s_d) - t_d * sum_s w, so the
+        coordinate axis never appears below the pair axes.
         """
-        dist = src_xyz[None, :, :] - tgt_xyz[:, None, :]
-        r2 = jnp.sum(dist * dist, axis=-1)
-        inv_r2 = jnp.where(r2 < self.eps2, 0.0, 1.0 / jnp.maximum(r2, self.eps2))
+        tx = [tgt_xyz[..., d] for d in range(3)]
+        sx = [src_xyz[..., d] for d in range(3)]
+        r2 = None
+        for d in range(3):
+            dd = sx[d][None, :] - tx[d][:, None]
+            r2 = dd * dd if r2 is None else r2 + dd * dd
+        inv_r2 = jnp.where(
+            r2 < self.eps2, 0.0, 1.0 / jnp.maximum(r2, self.eps2)
+        )
         inv_r = jnp.sqrt(inv_r2)
         pot = jnp.sum(charges[None, :] * inv_r, axis=1)
-        f = jnp.sum(
-            (charges[None, :] * inv_r * inv_r2)[:, :, None] * dist, axis=1
+        w = charges[None, :] * inv_r * inv_r2  # [Bt, Bs]
+        wsum = jnp.sum(w, axis=1)
+        f = [
+            jnp.sum(w * sx[d][None, :], axis=1) - tx[d] * wsum
+            for d in range(3)
+        ]
+        return jnp.concatenate(
+            [pot[:, None]] + [fd[:, None] for fd in f], axis=-1
         )
-        return jnp.concatenate([pot[:, None], f], axis=-1)
 
     def p2p_matrix(self, tgt_fields, src_fields):
         """Dense potential-entry block K(t,s) (no charge applied) —

@@ -228,29 +228,24 @@ class LaplaceKernel:
 
         Layout note: every intermediate is a [Bt, Bs] plane — a
         [Bt, Bs, 3] difference tensor would put the coordinate axis on
-        the minor (lane) dimension, which TPU tiling pads 3 -> 128
-        (measured ~40x memory inflation; this single shape made the
-        vmapped point P2P run at <1% of VPU peak).  The force uses
-        f_d = sum_s w*(s_d - t_d) = (w @ s_d) - t_d * sum_s w, so the
-        coordinate axis never appears below the pair axes.
+        the minor (lane) dimension, which TPU tiling pads 3 -> 128.
+        The force keeps the difference form sum_s w*(s_d - t_d)
+        per component (the algebraically equivalent
+        (w @ s_d) - t_d*sum(w) cancels two O(|x|) terms and costs ~3
+        decimal digits of f64 agreement between differently-partitioned
+        sums — it broke the 1e-10 LET parity bar).
         """
         tx = [tgt_xyz[..., d] for d in range(3)]
         sx = [src_xyz[..., d] for d in range(3)]
-        r2 = None
-        for d in range(3):
-            dd = sx[d][None, :] - tx[d][:, None]
-            r2 = dd * dd if r2 is None else r2 + dd * dd
+        dds = [sx[d][None, :] - tx[d][:, None] for d in range(3)]
+        r2 = dds[0] * dds[0] + dds[1] * dds[1] + dds[2] * dds[2]
         inv_r2 = jnp.where(
             r2 < self.eps2, 0.0, 1.0 / jnp.maximum(r2, self.eps2)
         )
         inv_r = jnp.sqrt(inv_r2)
         pot = jnp.sum(charges[None, :] * inv_r, axis=1)
         w = charges[None, :] * inv_r * inv_r2  # [Bt, Bs]
-        wsum = jnp.sum(w, axis=1)
-        f = [
-            jnp.sum(w * sx[d][None, :], axis=1) - tx[d] * wsum
-            for d in range(3)
-        ]
+        f = [jnp.sum(w * dds[d], axis=1) for d in range(3)]
         return jnp.concatenate(
             [pot[:, None]] + [fd[:, None] for fd in f], axis=-1
         )

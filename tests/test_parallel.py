@@ -13,15 +13,42 @@ from fmm_bem_tpu.kernels.laplace_bem import LaplaceBEMKernel
 from fmm_bem_tpu.parallel.sharding import make_mesh, sharded_matvec, sharded_solve_step
 
 
-@pytest.mark.parametrize("ndev", [2, 8])
-def test_sharded_point_matvec_matches(ndev):
-    assert len(jax.devices()) >= ndev
+@pytest.fixture(scope="module")
+def point_plan_1536():
+    """Shared read-only point plan (tests only call apply/LetPlan)."""
     rng = np.random.default_rng(0)
     pts = rng.uniform(0, 1, (1536, 3))
-    q = rng.standard_normal(1536)
-    plan = FmmPlan(
-        LaplaceKernel(), {"xyz": pts}, FMMConfig(ncrit=32, dtype="float64", max_p=8)
+    return FmmPlan(
+        LaplaceKernel(), {"xyz": pts},
+        FMMConfig(ncrit=32, dtype="float64", max_p=8),
     )
+
+
+@pytest.fixture(scope="module")
+def bem_plan_r3():
+    tris = unit_sphere(3)
+    fields = make_panels(tris, K=3)
+    return FmmPlan(
+        LaplaceBEMKernel(K=3), fields,
+        FMMConfig(ncrit=32, dtype="float64", max_p=8),
+    ), len(tris)
+
+
+@pytest.fixture(scope="module")
+def bem_plan_r4():
+    tris = unit_sphere(4)
+    fields = make_panels(tris, K=3)
+    return FmmPlan(
+        LaplaceBEMKernel(K=3), fields,
+        FMMConfig(ncrit=32, dtype="float64", max_p=8),
+    ), len(tris)
+
+
+@pytest.mark.parametrize("ndev", [2, 8])
+def test_sharded_point_matvec_matches(ndev, point_plan_1536):
+    assert len(jax.devices()) >= ndev
+    plan = point_plan_1536
+    q = np.random.default_rng(0).standard_normal(1536)
     ref = np.asarray(plan.apply(q, p=6))
     mesh = make_mesh(ndev)
     f = sharded_matvec(plan, 6, mesh)
@@ -71,59 +98,38 @@ from fmm_bem_tpu.parallel.let import LetPlan  # noqa: E402
 
 
 @pytest.mark.parametrize("ndev", [2, 8])
-def test_let_point_matvec_matches(ndev):
-    rng = np.random.default_rng(0)
-    pts = rng.uniform(0, 1, (1536, 3))
-    q = rng.standard_normal(1536)
-    plan = FmmPlan(
-        LaplaceKernel(), {"xyz": pts},
-        FMMConfig(ncrit=32, dtype="float64", max_p=8),
-    )
+def test_let_point_matvec_matches(ndev, point_plan_1536):
+    plan = point_plan_1536
+    q = np.random.default_rng(0).standard_normal(1536)
     ref = np.asarray(plan.apply(q, p=6))
     out = LetPlan(plan, ndev).apply(q, p=6)
     assert np.abs(out - ref).max() < 1e-10
 
 
 @pytest.mark.parametrize("ndev", [2, 8])
-def test_let_bem_matvec_matches(ndev):
-    tris = unit_sphere(4)
-    fields = make_panels(tris, K=3)
-    plan = FmmPlan(
-        LaplaceBEMKernel(K=3), fields,
-        FMMConfig(ncrit=32, dtype="float64", max_p=8),
-    )
-    q = np.random.default_rng(1).standard_normal(len(tris))
+def test_let_bem_matvec_matches(ndev, bem_plan_r4):
+    plan, n = bem_plan_r4
+    q = np.random.default_rng(1).standard_normal(n)
     ref = np.asarray(plan.apply(q, p=8))
     out = LetPlan(plan, ndev).apply(q, p=8)
     assert np.abs(out - ref).max() < 1e-10
 
 
-def test_let_flipped_variant_matches():
-    tris = unit_sphere(3)
-    fields = make_panels(tris, K=3)
-    plan = FmmPlan(
-        LaplaceBEMKernel(K=3), fields,
-        FMMConfig(ncrit=32, dtype="float64", max_p=8),
-    )
-    q = np.random.default_rng(2).standard_normal(len(tris))
+def test_let_flipped_variant_matches(bem_plan_r3):
+    plan, n = bem_plan_r3
+    q = np.random.default_rng(2).standard_normal(n)
     ref = np.asarray(plan.apply_flipped_bc(q, p=8))
     out = LetPlan(plan, 8, flipped=True).apply(q, p=8)
     assert np.abs(out - ref).max() < 1e-10
 
 
-def test_let_full_solve_matches_single_device():
+def test_let_full_solve_matches_single_device(bem_plan_r4):
     """Distributed second-kind BEM solve == single-device solve: the
     whole Krylov iteration runs on sharded state with the LET matvec."""
     from fmm_bem_tpu.config import SolverConfig
     from fmm_bem_tpu.solver.gmres import gmres_device
 
-    tris = unit_sphere(4)
-    fields = make_panels(tris, K=3)
-    n = len(tris)
-    plan = FmmPlan(
-        LaplaceBEMKernel(K=3), fields,
-        FMMConfig(ncrit=32, dtype="float64", max_p=8),
-    )
+    plan, n = bem_plan_r4
     q = np.ones(n)
     b = np.asarray(plan.apply(q, p=5)[:, 0])
     cfg = SolverConfig(residual=1e-6, max_p=5, max_iters=40, restart=40)

@@ -65,6 +65,13 @@ class FMMConfig:
     #: ~4 pairs on the 131k-panel sphere) against matmul row occupancy
     #: (ncomp folds into rows, so a BEM tile is still [64, W])
     m2l_tile: int = 32
+    #: group same-level M2L pairs by (source-parent, target-parent)
+    #: FAMILY: one dense [8W, 8W] class operator per quantised parent
+    #: offset serves all the family's child pairs, the expansion gather
+    #: moves 8x-wider rows (sibling-contiguous family tiles) and ~16x
+    #: fewer of them, and the matmul is real MXU food.  See
+    #: executor/plan._build_m2l_families.
+    m2l_family: bool = True
     #: chunk sizes bounding transient memory of gather-heavy ops
     p2p_chunk: int = 1024
     #: evaluate the precomputed near field as bucketed dense leaf
@@ -97,7 +104,8 @@ class FMMConfig:
 
         d2 = ((c1 - c2) ** 2).sum(axis=-1)
         rhs = (r1 + r2) / self.theta
-        return d2 > rhs * rhs
+        # tie-consistent (ties pass) — must match traversal/lists.py
+        return d2 > rhs * rhs * (1.0 - 1e-12)
 
 
 @dataclasses.dataclass

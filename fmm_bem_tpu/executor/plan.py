@@ -167,6 +167,46 @@ class _ClassedPairs:
 
 
 @dataclasses.dataclass
+class _M2LFamilies:
+    """Same-level M2L pairs regrouped by (source-parent, target-parent).
+
+    A family's child pairs share ONE dense [8W, 8W] class operator (64
+    child-translation blocks, zeroed where the combo is near-field),
+    keyed by the quantised parent offset: with the tie-consistent MAC
+    (traversal/lists.py) the per-family combo set is exactly
+    ``class_union_mask & existing_children`` — verified at build, with
+    deviant families demoted to the residual tile path.  Missing source
+    children contribute zero rows; missing target children are dropped
+    by the output gather.  Measured motive (131k panels): the per-pair
+    expansion gather ran at ~10% HBM (sub-cache-line rows in class
+    order); family rows are 8x wider and ~16x fewer, and the per-class
+    [F_c*ncomp, 8W] x [8W, 8W] matmuls actually use the MXU.
+    """
+
+    #: [nusp, 8] child box id per used source parent (-1 = missing)
+    src_child: np.ndarray
+    #: [nusp] per-pair kernel scale (m2l_pair_scale of the child sigma),
+    #: folded into the staging so class operators are level-free for
+    #: scale-invariant kernels
+    src_scale: np.ndarray
+    #: per class: rows into the used-source-parent table [F_c_pad]
+    cls_sp: list
+    #: per class: target-parent rows [F_c_pad] (dummy = nutp)
+    cls_tp: list
+    #: [ncls, 8, Wm, 8, Wm] class operators (combo blocks, masked)
+    mats: np.ndarray
+    #: [num_tgt_boxes] row into the [nutp*8] family-output table
+    #: (dummy = nutp*8 for boxes not covered by the family path)
+    out_idx: np.ndarray
+    #: family -> target-parent reduction plan (class-concatenated order)
+    bsum: object
+    nusp: int
+    nutp: int
+    #: diagnostics
+    npairs: int
+
+
+@dataclasses.dataclass
 class _TreeSide:
     """Per-tree executor structures (leaf tiles, body offsets, octant
     classes) — one for the source side, one for the target side (same
@@ -460,7 +500,19 @@ class FmmPlan:
         self.m2l_classes = _ClassedPairs(
             src=src_list, tgt=tgt_list, mats=mats_arr
         )
-        self._build_m2l_tiles()
+        # family regrouping (same-level pairs); the LET layer keeps
+        # consuming the full m2l_classes above, the single-chip matvec
+        # runs family path + residual tiles
+        self.m2l_fam = None
+        keep_res = None
+        if len(s) and self.config.m2l_family:
+            keep_res = self._build_m2l_families(s, tg, inv)
+        if self.m2l_fam is not None:
+            self._build_m2l_tiles(
+                subset=(s[keep_res], tg[keep_res], inv[keep_res])
+            )
+        else:
+            self._build_m2l_tiles()
 
         # ---- M2P list: treecode far field + skew fallback
         mp = self.lists.m2p_pairs
@@ -474,22 +526,262 @@ class FmmPlan:
             1.0 / st.box_radius[ms] if len(ms) else np.zeros(0)
         )
 
-    def _build_m2l_tiles(self):
+    @staticmethod
+    def _octants(tree, boxes):
+        """Child octant (0..7, x|y<<1|z<<2 by center offset sign) of
+        each box within its parent."""
+        par = tree.box_parent[boxes]
+        off = tree.box_center[boxes] - tree.box_center[par]
+        return (
+            (off[:, 0] > 0).astype(np.int64)
+            + 2 * (off[:, 1] > 0).astype(np.int64)
+            + 4 * (off[:, 2] > 0).astype(np.int64)
+        )
+
+    def _build_m2l_families(self, s, tg, cls_of_pair):
+        """Group same-level M2L pairs into (source-parent, target-parent)
+        families sharing a dense per-offset-class [8W, 8W] operator (see
+        _M2LFamilies).  Returns the boolean residual-pair selector for
+        the tile path, or None (sets ``self.m2l_fam``)."""
+        del cls_of_pair  # families re-key by PARENT offset
+        st, tt = self.src.tree, self.tgt.tree
+        kern = self.kernel
+        pmax = self.config.max_p
+        scale_inv = getattr(kern, "scale_invariant", True)
+
+        sl = st.box_level[s]
+        tl = tt.box_level[tg]
+        sp = st.box_parent[s]
+        tp = tt.box_parent[tg]
+        cand = (sl == tl) & (sp >= 0) & (tp >= 0)
+        if not cand.any():
+            return None
+        ci_ = np.nonzero(cand)[0]
+        o_s = self._octants(st, s[ci_])
+        o_t = self._octants(tt, tg[ci_])
+        fam_key = sp[ci_].astype(np.int64) * tt.num_boxes + tp[ci_]
+        uf, fam_inv = np.unique(fam_key, return_inverse=True)
+        combo = (o_s * 8 + o_t).astype(np.uint64)
+        fmask = np.zeros(len(uf), dtype=np.uint64)
+        np.bitwise_or.at(fmask, fam_inv, np.uint64(1) << combo)
+
+        fam_sp = (uf // tt.num_boxes).astype(np.int64)
+        fam_tp = (uf % tt.num_boxes).astype(np.int64)
+        rp = st.box_radius[fam_sp]
+        dvec = tt.box_center[fam_tp] - st.box_center[fam_sp]
+        ki = np.round(dvec / rp[:, None] * 8.0).astype(np.int64) + 2048
+        in_range = ((ki >= 0) & (ki < 4096)).all(axis=1)
+        # the per-pair kernel scale (m2l_pair_scale of the CHILD sigma)
+        # is folded into the Mfam STAGING (one scalar per used source
+        # parent), so scale-invariant kernels share one class operator
+        # across levels — the [8W, 8W] matrices are the phase's
+        # dominant byte stream and this cuts their count ~3x
+        lkey = (
+            st.box_level[fam_sp].astype(np.int64)
+            if not scale_inv
+            else np.zeros(len(uf), np.int64)
+        )
+        ckey = (
+            (lkey * 4096 + ki[:, 0]) * 4096 + ki[:, 1]
+        ) * 4096 + ki[:, 2]
+        ckey = np.where(in_range, ckey, -1)
+        ucls, cls_inv = np.unique(ckey, return_inverse=True)
+        umask = np.zeros(len(ucls), dtype=np.uint64)
+        np.bitwise_or.at(umask, cls_inv, fmask)
+
+        # existing-children bitmasks per parent
+        def child_bits(tree):
+            ch = np.nonzero(tree.box_parent >= 0)[0]
+            oc = self._octants(tree, ch)
+            bits = np.zeros(tree.num_boxes, dtype=np.uint64)
+            np.bitwise_or.at(
+                bits, tree.box_parent[ch], np.uint64(1) << oc.astype(np.uint64)
+            )
+            return bits
+
+        sbits = child_bits(st)[fam_sp]
+        tbits = child_bits(tt)[fam_tp]
+        exist = np.zeros(len(uf), dtype=np.uint64)
+        for o in range(8):
+            have = (sbits >> np.uint64(o)) & np.uint64(1)
+            exist |= np.where(have == 1, tbits, np.uint64(0)) << np.uint64(
+                8 * o
+            )
+        # exactness guard: a family joins the path only if its actual
+        # combo set equals the class union restricted to its existing
+        # children (holds for 100% of families with the tie-consistent
+        # MAC; anything else — out-of-range offsets included — demotes
+        # to the residual tile path)
+        good = in_range & (fmask == (umask[cls_inv] & exist)) & (
+            ucls[cls_inv] >= 0
+        )
+        if not good.any():
+            return None
+
+        pair_good = good[fam_inv]
+        keep_res = np.ones(len(s), dtype=bool)
+        keep_res[ci_[pair_good]] = False
+
+        # compact to good families / their classes
+        gsel = np.nonzero(good)[0]
+        fam_sp_g = fam_sp[gsel]
+        fam_tp_g = fam_tp[gsel]
+        gckey = ckey[gsel]
+        gucls, gcls_inv = np.unique(gckey, return_inverse=True)
+        gumask = np.zeros(len(gucls), dtype=np.uint64)
+        np.bitwise_or.at(gumask, gcls_inv, fmask[gsel])
+
+        usp, sp_loc = np.unique(fam_sp_g, return_inverse=True)
+        utp, tp_loc = np.unique(fam_tp_g, return_inverse=True)
+
+        # per-used-source-parent child table (octant -> box id, -1 miss)
+        src_child = np.full((len(usp), 8), -1, dtype=np.int32)
+        src_scale = np.asarray(
+            kern.m2l_pair_scale(0.5 * st.box_radius[usp])
+        ).reshape(-1)
+        ch = np.nonzero(st.box_parent >= 0)[0]
+        par = st.box_parent[ch]
+        pos = np.searchsorted(usp, par)
+        pos = np.minimum(pos, len(usp) - 1)
+        hit = usp[pos] == par
+        oc = self._octants(st, ch[hit])
+        src_child[pos[hit], oc] = ch[hit].astype(np.int32)
+
+        # target-box output map: box -> row of [nutp*8]
+        out_idx = np.full(tt.num_boxes, len(utp) * 8, dtype=np.int32)
+        cht = np.nonzero(tt.box_parent >= 0)[0]
+        part = tt.box_parent[cht]
+        post = np.searchsorted(utp, part)
+        post = np.minimum(post, len(utp) - 1)
+        hitt = utp[post] == part
+        oct_t = self._octants(tt, cht[hitt])
+        out_idx[cht[hitt]] = (post[hitt] * 8 + oct_t).astype(np.int32)
+
+        # class operators: 64 child-translation blocks, zero where the
+        # union mask lacks the combo.  Individual child matrices are
+        # cached by normalised offset (scale-invariant kernels share
+        # them across levels).
+        W = kern.width(pmax)
+        sig_oct = np.array(
+            [[1.0 if (o >> a) & 1 else -1.0 for a in range(3)]
+             for o in range(8)]
+        )
+        mats = np.zeros((len(gucls), 8, W, 8, W))
+        mat_cache = {}
+        # one representative family per class
+        rep = np.zeros(len(gucls), dtype=np.int64)
+        rep[gcls_inv[::-1]] = np.arange(len(gsel))[::-1]
+        for ci in range(len(gucls)):
+            f = rep[ci]
+            rpf = st.box_radius[fam_sp_g[f]]
+            rc = 0.5 * rpf
+            lvl = int(st.box_level[fam_sp_g[f]])
+            dd = tt.box_center[fam_tp_g[f]] - st.box_center[fam_sp_g[f]]
+            m = int(gumask[ci])
+            for o_s in range(8):
+                for o_t in range(8):
+                    if not (m >> (o_s * 8 + o_t)) & 1:
+                        continue
+                    drm = dd + 0.5 * rpf * (sig_oct[o_t] - sig_oct[o_s])
+                    ckey_m = (
+                        tuple(np.round(drm / rc * 8.0).astype(np.int64)),
+                        lvl if not scale_inv else -1,
+                    )
+                    blk = mat_cache.get(ckey_m)
+                    if blk is None:
+                        blk = kern.m2l_matrix(drm, rc, rc, pmax)
+                        mat_cache[ckey_m] = blk
+                    # transposed: the family matmul is rows @ T, the
+                    # kernel matrix convention is out = mat @ M; the
+                    # per-pair kernel scale is NOT folded here (it is
+                    # per-level) — it rides the Mfam staging
+                    mats[ci, o_s, :, o_t, :] = blk.T
+
+        # per-class family lists, padded to a sublane multiple; padded
+        # rows clamp to source row 0 and scatter to the dummy target
+        PAD = 8
+        cls_sp, cls_tp = [], []
+        order = np.argsort(gcls_inv, kind="stable")
+        bounds = np.searchsorted(
+            gcls_inv[order], np.arange(len(gucls) + 1)
+        )
+        for ci in range(len(gucls)):
+            sel = order[bounds[ci]: bounds[ci + 1]]
+            n = len(sel)
+            npad = (-n) % PAD
+            spv = np.concatenate(
+                [sp_loc[sel], np.zeros(npad, np.int64)]
+            ).astype(np.int32)
+            tpv = np.concatenate(
+                [tp_loc[sel], np.full(npad, len(utp), np.int64)]
+            ).astype(np.int32)
+            cls_sp.append(spv)
+            cls_tp.append(tpv)
+
+        from fmm_bem_tpu.ops.bucket_sum import build_bucket_sum
+
+        all_tp = np.concatenate(cls_tp)
+        bsum = build_bucket_sum(all_tp, len(all_tp), len(utp))
+
+        self.m2l_fam = _M2LFamilies(
+            src_child=src_child,
+            src_scale=src_scale,
+            cls_sp=cls_sp,
+            cls_tp=cls_tp,
+            mats=mats,
+            out_idx=out_idx,
+            bsum=bsum,
+            nusp=len(usp),
+            nutp=len(utp),
+            npairs=int(pair_good.sum()),
+        )
+        return keep_res
+
+    def _slice_fam_mats(self, p):
+        """Per-order family class operators: prefix-slice every child
+        block to width(p) and flatten to [ncls, 8W, 8W]."""
+        W = self.kernel.width(p)
+        m = self.m2l_fam.mats[:, :, :W, :, :W]
+        n = m.shape[0]
+        return np.ascontiguousarray(m).reshape(n, 8 * W, 8 * W)
+
+    def _build_m2l_tiles(self, subset=None):
         """Flatten the per-class pair lists into fixed-size tiles so the
         device M2L is ONE scan of batched [tile, W] x [W, W] matmuls
         instead of one op per class: each class's pairs are padded to a
         multiple of ``m2l_tile``; padded pairs carry scale 0 and scatter
-        into a dummy box."""
+        into a dummy box.
+
+        ``subset=(s, t, cls)`` restricts the tiles to the given pairs
+        (the family path's residual); class ids keep indexing the full
+        ``m2l_classes.mats`` table."""
         TS = max(8, int(self.config.m2l_tile))
         cls = self.m2l_classes
         dummy_tgt = self.tgt.tree.num_boxes  # extra segment, dropped
+        if subset is None:
+            groups = [
+                (ci, cls.src[ci], cls.tgt[ci])
+                for ci in range(len(cls.src))
+            ]
+        else:
+            s_arr, t_arr, c_arr = subset
+            groups = []
+            if len(s_arr):
+                order = np.argsort(c_arr, kind="stable")
+                so, to, co = s_arr[order], t_arr[order], c_arr[order]
+                b = np.searchsorted(co, np.arange(co.max() + 2))
+                for ci in range(len(b) - 1):
+                    if b[ci + 1] > b[ci]:
+                        groups.append(
+                            (ci, so[b[ci]: b[ci + 1]], to[b[ci]: b[ci + 1]])
+                        )
         srcs, tgts, tile_cls = [], [], []
-        for ci in range(len(cls.src)):
-            n = len(cls.src[ci])
+        for ci, src_c, tgt_c in groups:
+            n = len(src_c)
             ntile = -(-n // TS)
             pad = ntile * TS - n
-            srcs.append(cls.src[ci])
-            tgts.append(cls.tgt[ci])
+            srcs.append(src_c)
+            tgts.append(tgt_c)
             if pad:
                 # padded pairs produce finite garbage (M[0] through the
                 # class matrix) that the bucket reduction DROPS via the
@@ -822,6 +1114,32 @@ class FmmPlan:
                 "s_box_center": jnp.asarray(self.src.tree.box_center, dt),
             }
         )
+        if getattr(self, "m2l_fam", None) is not None:
+            f = self.m2l_fam
+            d.update(
+                {
+                    "fam_src_child": jnp.asarray(
+                        np.maximum(f.src_child, 0)
+                    ),
+                    "fam_src_mask": jnp.asarray(
+                        (f.src_child >= 0).astype(np.dtype(cfg.dtype))
+                        * f.src_scale[:, None]
+                    ),
+                    "fam_cls_sp": tuple(
+                        jnp.asarray(a) for a in f.cls_sp
+                    ),
+                    "fam_mats": jnp.asarray(self._slice_fam_mats(p), dt),
+                    "fam_bsum": f.bsum.device(),
+                    "fam_out_idx": jnp.asarray(
+                        np.minimum(f.out_idx, max(f.nutp * 8 - 1, 0))
+                    ),
+                    "fam_out_mask": jnp.asarray(
+                        (f.out_idx < f.nutp * 8).astype(
+                            np.dtype(cfg.dtype)
+                        )
+                    ),
+                }
+            )
         if self.near_rows is not None and not self._use_panels:
             # COO upload only when the panel path is off: the panel
             # arrays replace it entirely
@@ -1317,36 +1635,88 @@ class FmmPlan:
         return jnp.where(d["t_slot_mask"][:, None], out, 0.0)
 
     def _phase_m2l(self, d, M, p):
-        """M2L: ONE batched class matmul over all pair tiles (each tile
-        is [TS*ncomp, W] x [W, W] on the MXU), then a scatter-free
-        bucketed gather-sum into target locals (ops/bucket_sum.py) —
-        the scatter-add this replaces dominated the whole matvec."""
+        """M2L = family path (same-level pairs grouped by parents, one
+        dense [8W, 8W] operator per parent-offset class — see
+        _M2LFamilies) + residual tile path (cross-level pairs and
+        family-demoted stragglers: ONE batched class matmul over pair
+        tiles, then a scatter-free bucketed gather-sum,
+        ops/bucket_sum.py)."""
         kern = self.kernel
         tt = self.tgt.tree
         dt = jnp.dtype(self.config.dtype)
         cW = kern.ncomp * kern.width(p)
+        L = None
         npairs_pad = len(self.m2l_tile_src)
-        if not npairs_pad:
-            return jnp.zeros((tt.num_boxes, cW), dt)
+        if npairs_pad:
+            from fmm_bem_tpu.ops.bucket_sum import bucket_sum_apply
+
+            TS = self.m2l_tile_size
+            W = kern.width(p)
+            ntile = npairs_pad // TS
+            # fold the component axis into matmul rows (flat layout is
+            # component-major): [TS*ncomp, W] x [W, W] per tile, no
+            # kron.  Measured alternatives at 131k/p=5 (round 4):
+            # TS=64/128 tiles are 2-2.6x SLOWER (class padding grows
+            # the streamed pair bytes faster than bigger matmuls pay
+            # back), and folding 4 tiles into one [64, 128] x
+            # [128, 128] block-diagonal matmul is 15% slower.  The
+            # family path (round 5) beats both by deduplicating the
+            # GATHER, not batching the matmul.
+            Mg = M[d["m2l_tile_src"]].reshape(ntile, TS * kern.ncomp, W)
+            mats = d["m2l_mats"][d["m2l_tile_cls"]]  # [ntile, W, W]
+            outp = jnp.einsum("tpw,tvw->tpv", Mg, mats).reshape(
+                npairs_pad, cW
+            )
+            L = bucket_sum_apply(d["m2l_bsum"], outp)
+        if getattr(self, "m2l_fam", None) is not None:
+            Lf = self._phase_m2l_family(d, M, p)
+            L = Lf if L is None else L + Lf
+        if L is None:
+            L = jnp.zeros((tt.num_boxes, cW), dt)
+        return L
+
+    def _phase_m2l_family(self, d, M, p):
+        """Family M2L (see _M2LFamilies): stage sibling expansions as
+        [nusp, ncomp*8W] family rows ONCE (a single pass over M), then
+        per offset class one [F_c*ncomp, 8W] x [8W, 8W] matmul whose
+        64 child-translation blocks serve every child pair at once;
+        reduce families into target parents (bucketed gather-sum) and
+        broadcast parent rows back to child boxes with one gather."""
+        kern = self.kernel
+        f = self.m2l_fam
+        nc = kern.ncomp
+        W = kern.width(p)
+        dt = jnp.dtype(self.config.dtype)
         from fmm_bem_tpu.ops.bucket_sum import bucket_sum_apply
 
-        TS = self.m2l_tile_size
-        W = kern.width(p)
-        ntile = npairs_pad // TS
-        # fold the component axis into matmul rows (flat layout is
-        # component-major): [TS*ncomp, W] x [W, W] per tile, no kron.
-        # Measured alternatives at 131k/p=5 (round 4): TS=64/128 tiles
-        # are 2-2.6x SLOWER (class padding grows the streamed pair
-        # bytes faster than bigger matmuls pay back), and folding 4
-        # tiles into one [64, 128] x [128, 128] block-diagonal matmul
-        # is 15% slower (the 4.5x matrix-byte inflation beats the
-        # MXU-pass saving) — the phase is byte-bound, not pass-bound.
-        Mg = M[d["m2l_tile_src"]].reshape(ntile, TS * kern.ncomp, W)
-        mats = d["m2l_mats"][d["m2l_tile_cls"]]  # [ntile, W, W]
-        outp = jnp.einsum("tpw,tvw->tpv", Mg, mats).reshape(
-            npairs_pad, cW
+        # [nusp, 8, cW] sibling stage; missing children -> zero rows
+        g = M[d["fam_src_child"]] * d["fam_src_mask"][..., None]
+        # component-major family rows [nusp, nc*8W] so each class
+        # matmul is [F_c*nc, 8W] x [8W, 8W] with no structural zeros
+        Mfam = (
+            g.reshape(f.nusp, 8, nc, W)
+            .transpose(0, 2, 1, 3)
+            .reshape(f.nusp, nc * 8 * W)
         )
-        return bucket_sum_apply(d["m2l_bsum"], outp)
+        outs = []
+        for ci, sp_rows in enumerate(d["fam_cls_sp"]):
+            rows = Mfam[sp_rows]  # [F_c_pad, nc*8W]
+            Tc = jax.lax.dynamic_index_in_dim(
+                d["fam_mats"], ci, keepdims=False
+            )
+            out_c = rows.reshape(-1, 8 * W) @ Tc  # [F_c_pad*nc, 8W]
+            outs.append(out_c.reshape(-1, nc, 8 * W))
+        out = jnp.concatenate(outs, axis=0)  # [F_pad, nc, 8W]
+        # -> per-family [8, nc*W] rows (octant-major, matching L layout)
+        Fp = out.shape[0]
+        out = (
+            out.reshape(Fp, nc, 8, W)
+            .transpose(0, 2, 1, 3)
+            .reshape(Fp, 8 * nc * W)
+        )
+        Lred = bucket_sum_apply(d["fam_bsum"], out)  # [nutp, 8cW]
+        rows = Lred.reshape(f.nutp * 8, nc * W)
+        return rows[d["fam_out_idx"]] * d["fam_out_mask"][:, None]
 
     def _phase_l2l(self, d, L):
         """L2L top-down (target tree)."""

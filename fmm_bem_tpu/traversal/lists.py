@@ -161,7 +161,14 @@ def build_interaction_lists(
         ct = tt.box_center[cand_t]
         d2 = ((cs - ct) ** 2).sum(axis=1)
         rhs = (st.box_radius[cand_s] + tt.box_radius[cand_t]) * inv_theta
-        accept = d2 > rhs * rhs
+        # tie-consistent MAC: same-level boxes exactly at the threshold
+        # (|offset|^2 == (2*side)^2 at theta=0.5) otherwise compare at
+        # float-rounding mercy — the outcome flips per instance because
+        # centers are reconstructed through different roundings.  Ties
+        # uniformly PASS, which makes the (src-parent, tgt-parent)
+        # family combo masks a pure function of the parent offset (see
+        # executor/plan._build_m2l_families).
+        accept = d2 > rhs * rhs * (1.0 - 1e-12)
 
         if accept.any():
             m2l_s.append(cand_s[accept])

@@ -181,7 +181,9 @@ void* fmm_traverse(int64_t ns_boxes, const int32_t* s_leaf,
     double dy = s_center[3 * s + 1] - t_center[3 * t + 1];
     double dz = s_center[3 * s + 2] - t_center[3 * t + 2];
     double rhs = (s_radius[s] + t_radius[t]) * inv_theta;
-    return dx * dx + dy * dy + dz * dz > rhs * rhs;
+    // tie-consistent MAC (ties pass) — must match traversal/lists.py,
+    // which documents why (family M2L combo masks need tie stability)
+    return dx * dx + dy * dy + dz * dz > rhs * rhs * (1.0 - 1e-12);
   };
   auto interact = [&](int32_t s, int32_t t) {
     if (mac(s, t)) {

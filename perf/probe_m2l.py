@@ -140,6 +140,60 @@ def main():
           d, outp,
           bytes_=2 * nrows_g * cW * 4)
 
+    # ---- family path decomposition
+    f = plan.m2l_fam
+    if f is None:
+        return
+    nc = kern.ncomp
+    Fpad = sum(len(a) for a in f.cls_sp)
+    tbytes = sum(4 * (8 * W) ** 2 for _ in f.cls_sp)
+    print(f"family: F={f.npairs} "
+          f"Fpad={Fpad} nusp={f.nusp} nutp={f.nutp} "
+          f"ncls={len(f.cls_sp)} T_bytes={tbytes/1e6:.1f} MB", flush=True)
+
+    timed("  fam full", lambda d_, M_: plan._phase_m2l_family(d_, M_, P),
+          d, M, flops=2.0 * Fpad * nc * (8 * W) ** 2)
+
+    def stage(d_, M_):
+        g = M_[d_["fam_src_child"]] * d_["fam_src_mask"][..., None]
+        return (
+            g.reshape(f.nusp, 8, nc, W)
+            .transpose(0, 2, 1, 3)
+            .reshape(f.nusp, nc * 8 * W)
+        )
+
+    timed("    fam stage Mfam", stage, d, M,
+          bytes_=2 * f.nusp * 8 * cW * 4)
+    Mfam = jax.block_until_ready(jax.jit(stage)(d, M))
+
+    def cls_matmuls(d_, Mf):
+        outs = []
+        for ci, sp_rows in enumerate(d_["fam_cls_sp"]):
+            rows = Mf[sp_rows]
+            Tc = d_["fam_mats"][ci]
+            out_c = rows.reshape(-1, 8 * W) @ Tc
+            outs.append(out_c.reshape(-1, nc, 8 * W))
+        out = jnp.concatenate(outs, axis=0)
+        Fp = out.shape[0]
+        return (
+            out.reshape(Fp, nc, 8, W)
+            .transpose(0, 2, 1, 3)
+            .reshape(Fp, 8 * nc * W)
+        )
+
+    timed("    fam matmuls+transpose", cls_matmuls, d, Mfam,
+          bytes_=(2 * Fpad * nc * 8 * W * 3) * 4 + tbytes,
+          flops=2.0 * Fpad * nc * (8 * W) ** 2)
+    fout = jax.block_until_ready(jax.jit(cls_matmuls)(d, Mfam))
+
+    def fam_reduce(d_, o):
+        Lred = bucket_sum_apply(d_["fam_bsum"], o * 1.0)
+        rows = Lred.reshape(f.nutp * 8, nc * W)
+        return rows[d_["fam_out_idx"]] * d_["fam_out_mask"][:, None]
+
+    timed("    fam bucket+out", fam_reduce, d, fout,
+          bytes_=2 * Fpad * 8 * cW * 4)
+
 
 if __name__ == "__main__":
     main()

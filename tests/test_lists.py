@@ -82,7 +82,8 @@ def test_mac_separation():
     s, t = lists.m2l_pairs[:, 0], lists.m2l_pairs[:, 1]
     d2 = ((tree.box_center[s] - tree.box_center[t]) ** 2).sum(axis=1)
     rhs = (tree.box_radius[s] + tree.box_radius[t]) / theta
-    assert (d2 > rhs * rhs).all()
+    # tie-consistent MAC: accepted pairs satisfy the tolerant predicate
+    assert (d2 > rhs * rhs * (1.0 - 1e-12)).all()
 
 
 def test_expand_to_leaves():

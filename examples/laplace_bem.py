@@ -53,21 +53,28 @@ def main():
     ap.add_argument("-mesh", type=str, default=None)
     ap.add_argument("-pc", choices=["identity", "diagonal"], default="diagonal")
     ap.add_argument("-max_p", type=int, default=None)
-    ap.add_argument("-dtype", default="float64")
+    ap.add_argument("-dtype", default=None,
+                    help="default: float32 on accelerators (the device "
+                    "solver's native precision), float64 on CPU")
     ap.add_argument("-cpu", action="store_true", help="force host platform")
+    ap.add_argument("-host_solver", action="store_true",
+                    help="force the host GMRES loop (default: the "
+                    "device-resident fused tier cascade on accelerators)")
     ap.add_argument("-checkpoint", default=None,
                     help="Krylov checkpoint path (resume if present)")
     ap.add_argument("-checkpoint_every", type=int, default=8)
     args = ap.parse_args()
 
+    import jax
+
     if args.cpu:
-        import jax
-
         jax.config.update("jax_platforms", "cpu")
-    if getattr(args, "dtype", None) == "float64":
+    if args.dtype is None:
+        args.dtype = (
+            "float64" if jax.devices()[0].platform == "cpu" else "float32"
+        )
+    if args.dtype == "float64":
         # float64 silently truncates to f32 unless x64 is enabled
-        import jax
-
         jax.config.update("jax_enable_x64", True)
 
     from fmm_bem_tpu.bem.panels import make_panels, switch_bc
@@ -75,8 +82,6 @@ def main():
     from fmm_bem_tpu.config import FMMConfig, SolverConfig
     from fmm_bem_tpu.executor.plan import FmmPlan
     from fmm_bem_tpu.kernels.laplace_bem import LaplaceBEMKernel
-    from fmm_bem_tpu.solver import preconditioners as pc
-    from fmm_bem_tpu.solver.gmres import fgmres, gmres
     from fmm_bem_tpu.utils.metrics import log
 
     max_p = args.max_p or max(args.p, 10)
@@ -104,14 +109,13 @@ def main():
     b = np.asarray(plan.apply_flipped_bc(charges, p=max_p)[:, 0])
     print(f"RHS via flipped-BC matvec: {time.time()-t0:.3f}s")
 
-    M = None
+    diag = None
     if args.pc == "diagonal":
         from fmm_bem_tpu.bem.integrals import near_entries_laplace
 
         idx = np.arange(n)
         G, dG = near_entries_laplace(fields, fields, idx, idx, fine_K=kern.fine_K)
         diag = np.where(np.asarray(fields["bc"]) == 0.0, G, dG)
-        M = pc.diagonal(diag)
 
     from fmm_bem_tpu.config import default_p_tiers
 
@@ -136,20 +140,23 @@ def main():
         if scfg.eps_c is not None:
             print(f"calibrated eps(p) = {scfg.eps_c:.3g} * "
                   f"{scfg.eps_gamma:.3g}^p")
-    solve = fgmres if args.fgmres else gmres
+    from fmm_bem_tpu.solver.api import solve_plan
+
     t0 = time.time()
-    x, info = solve(
-        lambda v, p: plan.apply(v, p=p)[:, 0],
+    x, info, mode = solve_plan(
+        plan,
         b,
-        config=scfg,
-        M=M,
+        scfg,
         p_fixed=args.p if args.fixed_p else None,
+        M_diag=diag,
+        flexible=args.fgmres,
         verbose=True,
         checkpoint_path=args.checkpoint,
         checkpoint_every=args.checkpoint_every,
+        prefer_device=False if args.host_solver else None,
     )
     solve_time = time.time() - t0
-    print(f"\nTIMING:\n\tsolve : {solve_time:.4e}s  "
+    print(f"\nTIMING:\n\tsolve : {solve_time:.4e}s  [{mode}] "
           f"({info.iterations} iterations, residual {info.residual:.3e})")
 
     x = np.asarray(x)

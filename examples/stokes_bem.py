@@ -54,23 +54,30 @@ def main():
     ap.add_argument("-bio", action="store_true",
                     help="BioMesh conventions (extra .vert columns, "
                     "v1 v3 v2 face winding)")
-    ap.add_argument("-dtype", default="float64")
+    ap.add_argument("-dtype", default=None,
+                    help="default: float32 on accelerators (the device "
+                    "solver's native precision), float64 on CPU")
     ap.add_argument("-out_prefix", default=None,
                     help="write out.face/out.vert/out.charge dumps")
     ap.add_argument("-cpu", action="store_true", help="force host platform")
+    ap.add_argument("-host_solver", action="store_true",
+                    help="force the host GMRES loop (default: the "
+                    "device-resident fused tier cascade on accelerators)")
     ap.add_argument("-checkpoint", default=None,
                     help="Krylov checkpoint path (resume if present)")
     ap.add_argument("-checkpoint_every", type=int, default=8)
     args = ap.parse_args()
 
+    import jax
+
     if args.cpu:
-        import jax
-
         jax.config.update("jax_platforms", "cpu")
-    if getattr(args, "dtype", None) == "float64":
+    if args.dtype is None:
+        args.dtype = (
+            "float64" if jax.devices()[0].platform == "cpu" else "float32"
+        )
+    if args.dtype == "float64":
         # float64 silently truncates to f32 unless x64 is enabled
-        import jax
-
         jax.config.update("jax_enable_x64", True)
 
     from fmm_bem_tpu.bem.panels import make_panels
@@ -84,7 +91,6 @@ def main():
     from fmm_bem_tpu.config import FMMConfig, SolverConfig
     from fmm_bem_tpu.executor.plan import FmmPlan
     from fmm_bem_tpu.kernels.stokes_bem import StokesBEMKernel
-    from fmm_bem_tpu.solver.gmres import fgmres, gmres
 
     if args.vert and args.face:
         tris = load_vert_face(args.vert, args.face, bio=args.bio)
@@ -142,27 +148,31 @@ def main():
             if scfg.eps_c is not None
             else "calibration: truncation below noise; 2^-p model kept"
         )
-    def matvec(x, p):
-        return plan.apply(x.reshape(n, 3), p=p).reshape(-1)
-
     t0 = time.time()
     if args.fmgmres:
         from fmm_bem_tpu.solver.fmgmres import fmgmres
+
+        def matvec(x, p):
+            return plan.apply(x.reshape(n, 3), p=p).reshape(-1)
 
         x, info = fmgmres(
             matvec, b.reshape(-1), config=scfg,
             inner_iters=args.inner_iters, p_inner=args.pmin,
             verbose=True,
         )
+        mode = "host-fmgmres"
     else:
-        solve = fgmres if args.fgmres else gmres
-        x, info = solve(
-            matvec, b.reshape(-1), config=scfg,
-            p_fixed=args.p if args.fixed_p else None, verbose=True,
+        from fmm_bem_tpu.solver.api import solve_plan
+
+        x, info, mode = solve_plan(
+            plan, b.reshape(-1), scfg,
+            p_fixed=args.p if args.fixed_p else None,
+            flexible=args.fgmres, verbose=True,
             checkpoint_path=args.checkpoint,
             checkpoint_every=args.checkpoint_every,
+            prefer_device=False if args.host_solver else None,
         )
-    print(f"\nTIMING:\n\tsolve : {time.time()-t0:.4e}s "
+    print(f"\nTIMING:\n\tsolve : {time.time()-t0:.4e}s [{mode}] "
           f"({info.iterations} its, residual {info.residual:.3e})")
 
     t_sol = np.asarray(x).reshape(n, 3)

@@ -31,18 +31,23 @@ def main():
     ap.add_argument("-p_tiers", default="auto",
                     help="'auto' = 3,5,max_p tier quantisation of the "
                     "relaxed schedule; 'none' = continuous")
-    ap.add_argument("-dtype", default="float64")
+    ap.add_argument("-dtype", default=None,
+                    help="default: float32 on accelerators, float64 on CPU")
     ap.add_argument("-cpu", action="store_true", help="force host platform")
+    ap.add_argument("-host_solver", action="store_true",
+                    help="force the host GMRES loop")
     args = ap.parse_args()
 
+    import jax
+
     if args.cpu:
-        import jax
-
         jax.config.update("jax_platforms", "cpu")
-    if getattr(args, "dtype", None) == "float64":
+    if args.dtype is None:
+        args.dtype = (
+            "float64" if jax.devices()[0].platform == "cpu" else "float32"
+        )
+    if args.dtype == "float64":
         # float64 silently truncates to f32 unless x64 is enabled
-        import jax
-
         jax.config.update("jax_enable_x64", True)
 
     from fmm_bem_tpu.bem.panels import make_panels
@@ -50,7 +55,6 @@ def main():
     from fmm_bem_tpu.config import FMMConfig, SolverConfig
     from fmm_bem_tpu.executor.plan import FmmPlan
     from fmm_bem_tpu.kernels.yukawa_bem import YukawaBEMKernel
-    from fmm_bem_tpu.solver.gmres import gmres
 
     tris = unit_sphere(args.recursions)
     fields = make_panels(tris, K=args.k)
@@ -86,15 +90,18 @@ def main():
         variable_p=not args.fixed_p,
         p_tiers=tiers,
     )
+    from fmm_bem_tpu.solver.api import solve_plan
+
     t0 = time.time()
-    x, info = gmres(
-        lambda v, p: plan.apply(v, p=p)[:, 0],
+    x, info, mode = solve_plan(
+        plan,
         b,
-        config=scfg,
+        scfg,
         p_fixed=args.p if args.fixed_p else None,
         verbose=True,
+        prefer_device=False if args.host_solver else None,
     )
-    print(f"\nTIMING:\n\tsolve : {time.time()-t0:.4e}s "
+    print(f"\nTIMING:\n\tsolve : {time.time()-t0:.4e}s [{mode}] "
           f"({info.iterations} its, residual {info.residual:.3e})")
 
     # analytic check: with the reference's -2pi Yukawa self-term

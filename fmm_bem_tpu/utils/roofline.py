@@ -93,12 +93,23 @@ def _flop_byte_model(plan, p):
     )
     npairs = len(plan.m2l_tile_src)
     ntile = npairs // max(plan.m2l_tile_size, 1) if npairs else 0
-    model["m2l"] = (
-        2.0 * npairs * cW * W,
-        # gathered expansions in+out, one W x W matrix per TILE, and
-        # the bucket-sum re-read
-        (3 * npairs * cW + ntile * W * W) * it,
-    )
+    m2l_flops = 2.0 * npairs * cW * W
+    # residual tiles: gathered expansions in+out, one W x W matrix per
+    # TILE, and the bucket-sum re-read
+    m2l_bytes = (3 * npairs * cW + ntile * W * W) * it
+    fam = getattr(plan, "m2l_fam", None)
+    if fam is not None:
+        Fpad = sum(len(a) for a in fam.cls_sp)
+        W8 = 8 * W
+        m2l_flops += 2.0 * Fpad * kern.ncomp * W8 * W8
+        m2l_bytes += (
+            2 * fam.nusp * 8 * cW          # sibling stage in+out
+            + 3 * Fpad * kern.ncomp * W8   # rows in, out, transpose
+            + len(fam.cls_sp) * W8 * W8    # class operator stream
+            + 2 * Fpad * 8 * cW            # family bucket in+out
+            + plan.tgt.tree.num_boxes * cW  # child broadcast
+        ) * it
+    model["m2l"] = (m2l_flops, m2l_bytes)
     model["l2l"] = model["m2m"]
     model["l2p"] = (
         2.0 * nl * K * cW * rdim,
@@ -406,6 +417,13 @@ def phase_breakdown(plan, p, q=None, chain=96, iters=1, repeats=3,
     model = _flop_byte_model(plan, p)
     peaks = chip_peaks()
     floor = 15e-6  # per chained step: below this the number is noise
+    #: prefix-difference attribution carries ~±0.1-0.3 ms of jitter
+    #: between consecutive prefixes (measured across round-4 records:
+    #: the same run moved p2m 0.32<->0.83 ms); a phase shorter than
+    #: this is timing noise and must NOT carry %-of-peak fields —
+    #: round 4's committed record read p2m at 347% of HBM peak exactly
+    #: this way
+    phase_floor = 3e-4
     out = {}
     for nm, dt_k in zip(names, per_phase):
         flops, bytes_ = model.get(nm, (0.0, 0.0))
@@ -416,21 +434,42 @@ def phase_breakdown(plan, p, q=None, chain=96, iters=1, repeats=3,
             r["below_timer_floor"] = True
             out[nm] = r
             continue
-        r["gflops"] = flops / dt_k / 1e9
-        r["gbs"] = bytes_ / dt_k / 1e9
+        if dt_k < phase_floor:
+            # the ms is attribution-limited: report it, but no rates
+            r["below_attribution_floor"] = True
+            out[nm] = r
+            continue
+        gflops = flops / dt_k / 1e9
+        gbs = bytes_ / dt_k / 1e9
+        r["gflops"] = gflops
+        r["gbs"] = gbs
         if peaks:
             f32_peak, _, hbm = peaks
-            r["pct_mxu"] = 100.0 * (flops / dt_k) / f32_peak
-            r["pct_hbm"] = 100.0 * (bytes_ / dt_k) / hbm
+            pct_mxu = 100.0 * (flops / dt_k) / f32_peak
+            pct_hbm = 100.0 * (bytes_ / dt_k) / hbm
+            if pct_mxu > 100.0 or pct_hbm > 100.0:
+                # a reading past peak is self-refuting — the phase time
+                # is under-attributed, not the chip over-achieving
+                r["unreliable"] = True
+                r.pop("gflops")
+                r.pop("gbs")
+            else:
+                r["pct_mxu"] = pct_mxu
+                r["pct_hbm"] = pct_hbm
         out[nm] = r
+    sum_ratio = (
+        cum[-1] / mv_t if mv_t > floor and cum[-1] > floor else None
+    )
     out["total"] = {
         "ms": cum[-1] * 1e3,
         "matvec_ms": mv_t * 1e3,
         # trust per-phase numbers only when the pipeline total agrees
         # with the production matvec; below the timer floor the ratio
-        # is noise, not evidence
-        "sum_ratio": (
-            cum[-1] / mv_t if mv_t > floor and cum[-1] > floor else None
+        # is noise, not evidence.  The credibility window applies on
+        # EVERY backend (round 4 shipped an un-flagged CPU 0.763).
+        "sum_ratio": sum_ratio,
+        "suspect": (
+            sum_ratio is None or not (0.85 <= sum_ratio <= 1.15)
         ),
     }
     return out

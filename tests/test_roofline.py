@@ -60,3 +60,14 @@ def test_phase_breakdown_structure():
     # floor (tiny CPU problems may legitimately return None)
     if t["sum_ratio"] is not None:
         assert t["sum_ratio"] > 0.0
+    # the credibility flag is always present (round-4 weak #6)
+    assert "suspect" in t
+    # %-of-peak fields can never read past the peak (round-4 weak #3:
+    # a 347%-of-HBM reading shipped un-flagged); impossible readings
+    # must demote to `unreliable` / attribution-floor markers instead
+    for ph in ("p2m", "m2m", "m2l", "l2l", "l2p", "near"):
+        r = out[ph]
+        assert r.get("pct_mxu", 0.0) <= 100.0
+        assert r.get("pct_hbm", 0.0) <= 100.0
+        if "unreliable" in r or "below_attribution_floor" in r:
+            assert "pct_hbm" not in r and "pct_mxu" not in r

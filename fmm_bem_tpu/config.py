@@ -50,6 +50,12 @@ class FMMConfig:
 
     theta: float = 0.5
     ncrit: int = 64
+    #: rebuild the tree once with a smaller ncrit when the max/mean
+    #: leaf-occupancy ratio exceeds 2 (leaf tiles pad to the MAX, so
+    #: one full leaf against a low mean taxes every P2P tile — a
+    #: measured 2.2x matvec cliff at 500k points).  The reference
+    #: ships tests/ncrit_search.cpp for manual tuning instead.
+    auto_ncrit: bool = True
     evaluator: Evaluator = Evaluator.FMM
     #: maximum octree depth (ref MortonCoder: 10 levels, Octree.hpp:87-89)
     max_level: int = 10
@@ -79,6 +85,18 @@ class FMMConfig:
     #: the TPU-native form of the reference's cached CSR
     #: (EvalInteractionLazySparse.hpp:112)
     near_panel: bool = True
+    #: BEM near-field storage: "cached" streams the precomputed panel
+    #: store (p-independent, the reference's EvalInteractionLazySparse
+    #: default — fastest, but ~1.3 GB / 131k panels caps single-chip N
+    #: near ~1M); "otf" recomputes the regular K-point quadrature
+    #: inside the matvec (the reference's plain lazy evaluator,
+    #: EvalInteractionLazy.hpp:239-252) and caches only the O(N)
+    #: near-singular corrections as deltas — near store drops ~20x,
+    #: enabling multi-million-panel single-chip solves
+    near_mode: str = "cached"
+    #: pairs per on-the-fly near chunk (bounds the transient geometry
+    #: bytes: ~chunk * KT*KS*K * 16 B)
+    near_otf_chunk: int = 1024
     #: near-field-only evaluation (no far field) — the preconditioner
     #: operator mode (ref FMMOptions local_evaluation + EvalLocal/
     #: EvalLocalSparse)

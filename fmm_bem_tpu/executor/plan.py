@@ -356,6 +356,43 @@ class FmmPlan:
             ttree = build_tree(tgt_xyz, cfg.ncrit, cfg.max_level, pmin, side)
         else:
             stree = build_tree(src_xyz, cfg.ncrit, cfg.max_level)
+            # pad-pathology guard: every leaf tile is padded to the
+            # MAXIMUM leaf occupancy, so one full leaf against a low
+            # mean multiplies every P2P/near tile by the ratio — a
+            # measured 2.2x matvec cliff at 500k points (ncrit 125,
+            # mean occupancy ~33, one 125-body leaf).  When the ratio
+            # blows past 2x, rebuild once with ncrit ~ 2x the mean
+            # (the reference ships tests/ncrit_search.cpp for exactly
+            # this tuning; here the plan self-tunes).
+            if cfg.auto_ncrit and cfg.leaf_pad is None:
+                occ = stree.box_body_count[stree.box_is_leaf]
+                mean_occ = float(occ.mean())
+                if (
+                    len(occ)
+                    and occ.max() > 2.0 * mean_occ
+                    and mean_occ >= 8.0
+                ):
+                    ncrit2 = max(8, int(np.ceil(2.0 * mean_occ)))
+                    if ncrit2 < cfg.ncrit:
+                        tree2 = build_tree(src_xyz, ncrit2, cfg.max_level)
+                        occ2 = tree2.box_body_count[tree2.box_is_leaf]
+                        # keep the retuned tree only if it shrinks the
+                        # padded-slot total (a full leaf at max depth
+                        # cannot split, and then the rebuild only
+                        # churns the rest of the tree)
+                        if len(occ2) * occ2.max() < len(occ) * occ.max():
+                            import warnings
+
+                            warnings.warn(
+                                f"leaf occupancy max {int(occ.max())} "
+                                f"vs mean {mean_occ:.1f}: padding "
+                                f"would waste >2x; retuned ncrit="
+                                f"{ncrit2} (was {cfg.ncrit}).  Pass "
+                                f"auto_ncrit=False or an explicit "
+                                f"leaf_pad to keep the original.",
+                                stacklevel=3,
+                            )
+                            stree = tree2
             ttree = stree
 
         treecode = cfg.evaluator == Evaluator.TREECODE
@@ -834,6 +871,23 @@ class FmmPlan:
         self.p2p_tgt_slot = self.tgt.box_to_slot[pp[:, 1]].astype(np.int32)
 
         self.near_rows = self.near_cols = self.near_vals = None
+        self._otf_near = False
+        # on-the-fly near mode (ref EvalInteractionLazy.hpp:239-252):
+        # no cached panel store — the regular quadrature is recomputed
+        # inside every matvec and only the O(N) near-singular
+        # corrections are cached, as DELTAS vs the regular values
+        if (
+            self.config.near_mode == "otf"
+            and self.config.near_panel
+            and getattr(self.kernel, "near_sparse", False)
+            and hasattr(self.kernel, "near_block_device")
+            and hasattr(self.kernel, "near_regular_entries")
+            and getattr(self.kernel, "result_dim", 1) == 1
+            and getattr(self.kernel, "charge_dim", 1) == 1
+            and len(pp) > 0
+        ):
+            self._build_near_otf(pp)
+            return
         # device-near mode: the regular-quadrature bulk of the near
         # field is evaluated on the accelerator directly in panel-block
         # layout; the host only assembles the near-singular CORRECTION
@@ -846,41 +900,7 @@ class FmmPlan:
             and len(pp) > 0
         )
         if self._device_near:
-            from fmm_bem_tpu import native
-
-            st_xyz = self.src.fields["xyz"]
-            tt_xyz = self.tgt.fields["xyz"]
-            s_area = self.src.fields["area"]
-            nat = native.near_candidates(
-                pp, st, tt, tt_xyz, st_xyz, s_area
-            )
-            if nat is not None:
-                rows, cols = nat
-            else:
-                rows, cols = [], []
-                ta = np.asarray(tt_xyz)
-                sa_ = np.asarray(st_xyz)
-                ar = np.asarray(s_area)
-                for s, tg in pp:
-                    tsl = slice(
-                        tt.box_body_start[tg],
-                        tt.box_body_start[tg] + tt.box_body_count[tg],
-                    )
-                    ssl = slice(
-                        st.box_body_start[s],
-                        st.box_body_start[s] + st.box_body_count[s],
-                    )
-                    tb = np.arange(tsl.start, tsl.stop, dtype=np.int32)
-                    sb = np.arange(ssl.start, ssl.stop, dtype=np.int32)
-                    d2 = (
-                        (ta[tsl, None, :] - sa_[None, ssl, :]) ** 2
-                    ).sum(-1)
-                    near = 2.0 * ar[None, ssl] >= 0.25 * d2
-                    ti, si = np.nonzero(near)
-                    rows.append(tb[ti])
-                    cols.append(sb[si])
-                rows = np.concatenate(rows) if rows else np.zeros(0, np.int32)
-                cols = np.concatenate(cols) if cols else np.zeros(0, np.int32)
+            rows, cols = self._near_candidate_entries(pp)
             self.near_rows = np.asarray(rows, np.int32)
             self.near_cols = np.asarray(cols, np.int32)
             self.near_vals = self.kernel.near_values(
@@ -935,6 +955,94 @@ class FmmPlan:
             and hasattr(self.kernel, "near_select")
         )
 
+    def _near_candidate_entries(self, pp):
+        """Near-SINGULAR entry candidates (sqrt(2A)/d >= 0.5, the ref's
+        eval_G branch switch) within the near leaf pairs."""
+        st, tt = self.src.tree, self.tgt.tree
+        from fmm_bem_tpu import native
+
+        st_xyz = self.src.fields["xyz"]
+        tt_xyz = self.tgt.fields["xyz"]
+        s_area = self.src.fields["area"]
+        nat = native.near_candidates(pp, st, tt, tt_xyz, st_xyz, s_area)
+        if nat is not None:
+            return nat
+        rows, cols = [], []
+        ta = np.asarray(tt_xyz)
+        sa_ = np.asarray(st_xyz)
+        ar = np.asarray(s_area)
+        for s, tg in pp:
+            tsl = slice(
+                tt.box_body_start[tg],
+                tt.box_body_start[tg] + tt.box_body_count[tg],
+            )
+            ssl = slice(
+                st.box_body_start[s],
+                st.box_body_start[s] + st.box_body_count[s],
+            )
+            tb = np.arange(tsl.start, tsl.stop, dtype=np.int32)
+            sb = np.arange(ssl.start, ssl.stop, dtype=np.int32)
+            d2 = ((ta[tsl, None, :] - sa_[None, ssl, :]) ** 2).sum(-1)
+            near = 2.0 * ar[None, ssl] >= 0.25 * d2
+            ti, si = np.nonzero(near)
+            rows.append(tb[ti])
+            cols.append(sb[si])
+        rows = np.concatenate(rows) if rows else np.zeros(0, np.int32)
+        cols = np.concatenate(cols) if cols else np.zeros(0, np.int32)
+        return rows, cols
+
+    def _build_near_otf(self, pp):
+        """On-the-fly near mode (FMMConfig.near_mode="otf"): cache only
+        the near-singular corrections as DELTAS vs the regular K-point
+        quadrature; the per-iteration device product recomputes the
+        regular quadrature for every near pair (see _near_otf_core) —
+        the reference's memory-free plain lazy evaluator
+        (EvalInteractionLazy.hpp:239-252) as a chunked batched op."""
+        st, tt = self.src.tree, self.tgt.tree
+        kern = self.kernel
+        rows, cols = self._near_candidate_entries(pp)
+        rows = np.asarray(rows, np.int32)
+        cols = np.asarray(cols, np.int32)
+        corr = np.asarray(
+            kern.near_values(self.tgt.fields, self.src.fields, rows, cols)
+        )
+        reg = np.asarray(
+            kern.near_regular_entries(
+                self.tgt.fields, self.src.fields, rows, cols
+            )
+        )
+        # slot-space sorted COO of the correction DELTAS: ~6 entries
+        # per panel on surface meshes, so COO (12 B/entry) beats the
+        # panel-block layout by ~50x — the whole point of this mode is
+        # the O(N) near store
+        row_slot = self.tgt.body_flat_slot[rows]
+        order = np.argsort(row_slot, kind="stable")
+        self.near_rows = rows[order]
+        self.near_cols = cols[order]
+        self.near_vals = (corr - reg)[order]
+        self._otf_corr_rows = row_slot[order].astype(np.int32)
+        self._otf_corr_cols = self.src.body_flat_slot[
+            self.near_cols
+        ].astype(np.int32)
+        self._otf_near = True
+        self._device_near = False
+        self._use_panels = True
+        self._near_panel_cache = {}
+        self._near_meta = None
+        # full near-pair slot arrays, target-sorted, chunk-padded
+        ss, ts = self.p2p_src_slot, self.p2p_tgt_slot
+        order = np.lexsort((ss, ts))
+        ch = max(8, int(self.config.near_otf_chunk))
+        npp = len(order)
+        pad = (-npp) % ch
+        self._otf_sslot = np.concatenate(
+            [ss[order], np.full(pad, len(self.src.leaf_ids), np.int32)]
+        ).astype(np.int32)
+        self._otf_tslot = np.concatenate(
+            [ts[order], np.full(pad, len(self.tgt.leaf_ids), np.int32)]
+        ).astype(np.int32)
+        self._otf_chunk = ch
+
     def near_panels(self, tgt_fields_host=None):
         """Bucketed leaf-panel form of the near field for one BC
         variant (see ops/near_panel.py) — device arrays, cached per
@@ -954,6 +1062,19 @@ class FmmPlan:
             vsel = self.kernel.near_select(
                 self.near_vals, bc[self.near_rows] if len(bc) else None
             )
+            if getattr(self, "_otf_near", False):
+                dev = {"otf_tiles": self._otf_tiles(tf)}
+                if len(self.near_rows):
+                    dt = jnp.dtype(self.config.dtype)
+                    dev["corr_rows"] = jnp.asarray(self._otf_corr_rows)
+                    dev["corr_cols"] = jnp.asarray(self._otf_corr_cols)
+                    dev["corr_vals"] = jnp.asarray(vsel, dt)
+                self._near_panel_cache[key] = dev
+                if len(self._near_panel_cache) > 4:
+                    self._near_panel_cache.pop(
+                        next(iter(self._near_panel_cache))
+                    )
+                return self._near_panel_cache[key], self._near_meta
             if getattr(self, "_device_near", False):
                 dev, meta = build_near_panels_on_device(
                     self.p2p_src_slot,
@@ -993,6 +1114,87 @@ class FmmPlan:
                     next(iter(self._near_panel_cache))
                 )
         return self._near_panel_cache[key], self._near_meta
+
+    def _otf_tiles(self, tgt_fields_host):
+        """Leaf-tiled panel-field tables for the on-the-fly near
+        product, with one appended dummy (zero/masked) leaf row so
+        chunk padding indexes safely."""
+        dt = jnp.dtype(self.config.dtype)
+
+        def tiles(side, host_fields):
+            idx = side.leaf_body_idx  # [nl, K]
+            out = {}
+            for k, v in host_fields.items():
+                if k == "vertices":
+                    continue
+                a = np.asarray(v)[idx]
+                pad = np.zeros((1,) + a.shape[1:], a.dtype)
+                out[k] = jnp.asarray(np.concatenate([a, pad]), dt)
+            m = np.concatenate(
+                [side.leaf_body_mask,
+                 np.zeros((1, side.leaf_pad), bool)]
+            )
+            return out, jnp.asarray(m)
+
+        s_tiles, s_mask = tiles(self.src, self.src.fields)
+        t_host = dict(self.tgt.fields)
+        t_host["bc"] = tgt_fields_host.get("bc", t_host.get("bc"))
+        t_tiles, t_mask = tiles(self.tgt, t_host)
+        return {
+            "s_tiles": s_tiles,
+            "t_tiles": t_tiles,
+            "s_mask": s_mask,
+            "t_mask": t_mask,
+            "sslot": jnp.asarray(self._otf_sslot),
+            "tslot": jnp.asarray(self._otf_tslot),
+        }
+
+    def _near_otf_core(self, dev, ql):
+        """On-the-fly near product from leaf-tiled charges: chunked
+        regular-quadrature blocks recomputed on device + the cached
+        correction-delta panel product.  Returns [nl_t, KT*rdim]."""
+        kern = self.kernel
+        rdim = kern.result_dim
+        KT = self.tgt.leaf_pad
+        nl_t = len(self.tgt.leaf_ids)
+        ot = dev["otf_tiles"]
+        sslot, tslot = ot["sslot"], ot["tslot"]
+        ch = self._otf_chunk  # static (baked into the trace)
+        nch = sslot.shape[0] // ch
+        qlz = jnp.concatenate(
+            [ql, jnp.zeros((1, ql.shape[1]), ql.dtype)], axis=0
+        )
+        s_tiles, t_tiles = ot["s_tiles"], ot["t_tiles"]
+        s_mask, t_mask = ot["s_mask"], ot["t_mask"]
+
+        def one(args):
+            ssl, tsl = args
+            sf = {k: v[ssl] for k, v in s_tiles.items()}
+            tf = {k: v[tsl] for k, v in t_tiles.items()}
+            blocks = jax.vmap(kern.near_block_device)(
+                tf, sf, t_mask[tsl], s_mask[ssl]
+            )
+            return jnp.einsum("cts,cs->ct", blocks, qlz[ssl])
+
+        outs = jax.lax.map(
+            one, (sslot.reshape(nch, ch), tslot.reshape(nch, ch))
+        )
+        out = outs.reshape(nch * ch, KT * rdim)
+        seg = jax.ops.segment_sum(
+            out, tslot, num_segments=nl_t + 1, indices_are_sorted=True
+        )
+        res = seg[:nl_t]
+        if "corr_vals" in dev:
+            # correction deltas: sorted slot-space COO (O(N) entries)
+            v = dev["corr_vals"] * ql.reshape(-1)[dev["corr_cols"]]
+            corr = jax.ops.segment_sum(
+                v,
+                dev["corr_rows"],
+                num_segments=nl_t * KT,
+                indices_are_sorted=True,
+            )
+            res = res + corr.reshape(nl_t, KT)
+        return res
 
     def _near_blocks_fn(self, tgt_fields_host):
         """Jitted device builder of the regular-quadrature interaction
@@ -1065,6 +1267,36 @@ class FmmPlan:
         return out
 
     def _device_data(self, p):
+        # p-independent arrays are built ONCE and shared by reference
+        # across every per-p dict: the fused tier cascade passes one
+        # operand pytree per tier in a single dispatch, and aliased
+        # buffers keep both the marshalling cost and device memory at
+        # 1x instead of (#tiers)x
+        common = getattr(self, "_ddata_common", None)
+        if common is None:
+            common = self._device_data_common()
+            self._ddata_common = common
+        d = dict(common)
+        cfg = self.config
+        dt = jnp.dtype(cfg.dtype)
+        d.update(
+            {
+                "m2m_mats": jnp.asarray(
+                    self._slice_mats(self.src.m2m_mats, p), dt
+                ),
+                "l2l_mats": jnp.asarray(
+                    self._slice_mats(self.tgt.l2l_mats, p), dt
+                ),
+                "m2l_mats": jnp.asarray(
+                    self._slice_mats(self.m2l_classes.mats, p), dt
+                ),
+            }
+        )
+        if getattr(self, "m2l_fam", None) is not None:
+            d["fam_mats"] = jnp.asarray(self._slice_fam_mats(p), dt)
+        return d
+
+    def _device_data_common(self):
         cfg = self.config
         dt = jnp.dtype(cfg.dtype)
 
@@ -1093,15 +1325,6 @@ class FmmPlan:
                  {k.replace("s_", "t_", 1): v for k, v in d.items()})
         d.update(
             {
-                "m2m_mats": jnp.asarray(
-                    self._slice_mats(self.src.m2m_mats, p), dt
-                ),
-                "l2l_mats": jnp.asarray(
-                    self._slice_mats(self.tgt.l2l_mats, p), dt
-                ),
-                "m2l_mats": jnp.asarray(
-                    self._slice_mats(self.m2l_classes.mats, p), dt
-                ),
                 "m2l_tile_src": jnp.asarray(self.m2l_tile_src),
                 "m2l_tile_tgt": jnp.asarray(self.m2l_tile_tgt),
                 "m2l_tile_cls": jnp.asarray(self.m2l_tile_cls),
@@ -1128,7 +1351,6 @@ class FmmPlan:
                     "fam_cls_sp": tuple(
                         jnp.asarray(a) for a in f.cls_sp
                     ),
-                    "fam_mats": jnp.asarray(self._slice_fam_mats(p), dt),
                     "fam_bsum": f.bsum.device(),
                     "fam_out_idx": jnp.asarray(
                         np.minimum(f.out_idx, max(f.nutp * 8 - 1, 0))
@@ -1394,7 +1616,10 @@ class FmmPlan:
             ql = qg.reshape(qg.shape[0], qg.shape[1] * cdim)
         else:
             ql = jnp.where(mask, qg, 0.0)
-        out_leaf = panel_matvec(panels, self._near_meta, ql)
+        if isinstance(panels, dict) and "otf_tiles" in panels:
+            out_leaf = self._near_otf_core(panels, ql)
+        else:
+            out_leaf = panel_matvec(panels, self._near_meta, ql)
         return out_leaf.reshape(nl_t * K_t, rdim)[d["t_body_flat_slot"]]
 
     # ------------------------------------------------------------------
@@ -1609,7 +1834,10 @@ class FmmPlan:
         nl_s, K_s = len(self.src.leaf_ids), self.src.leaf_pad
         nl_t, K_t = len(self.tgt.leaf_ids), self.tgt.leaf_pad
         ql = q_t.reshape(nl_s, K_s * cdim)
-        out_leaf = panel_matvec(panels, self._near_meta, ql)
+        if isinstance(panels, dict) and "otf_tiles" in panels:
+            out_leaf = self._near_otf_core(panels, ql)
+        else:
+            out_leaf = panel_matvec(panels, self._near_meta, ql)
         return out_leaf.reshape(nl_t * K_t, kern.result_dim)
 
     def _l2p_slots(self, d, aux, L, p):

@@ -723,6 +723,7 @@ def gmres_device(
             sn = jnp.asarray(_embed(resume["sn"], (restart + 1,)))
             s = jnp.asarray(_embed(resume["s"], (restart + 1,)))
             i = jnp.asarray(int(resume["i"]), jnp.int32)
+            i_h = int(resume["i"])
             resid = float(resume["resid"])
             resid_dev = jnp.asarray(resid, dt)
             resume = None
@@ -742,6 +743,7 @@ def gmres_device(
             sn = jnp.zeros(restart + 1, dt)
             s = jnp.zeros(restart + 1, dt).at[0].set(beta)
             i = jnp.asarray(0, jnp.int32)
+            i_h = 0
             resid_dev = jnp.asarray(resid, dt)
 
         while True:
@@ -767,6 +769,20 @@ def gmres_device(
                  hist_dev) = st
                 stalled_dev = False  # demotion handled in-loop
                 p = None
+                # ONE batched device->host transfer for the block's
+                # scalars/history: on the tunneled backend every
+                # separate int()/np.asarray() is its own ~70 ms round
+                # trip, and five of them per block cost more than the
+                # whole 20-iteration Arnoldi sweep
+                resid_prev = resid
+                i_new_h, sn_host, hist_h_full, resid, min_idx_h = (
+                    jax.device_get(
+                        (i_new, sn, hist_dev, resid_dev, min_idx_dev)
+                    )
+                )
+                i_new_h = int(i_new_h)
+                resid = float(resid)
+                min_idx_h = int(min_idx_h)
             else:
                 p = cfg.schedule_p(resid, p_fixed, boost=p_boost)
                 if (p, cap) not in ctx.tier_fns:
@@ -776,22 +792,26 @@ def gmres_device(
                     it_left, normb_arr, jnp.asarray(p_boost, jnp.int32),
                 )
                 (V, Z, H, cs, sn, s, i_new, resid_dev, stalled_dev) = st
-            i_new_h = int(i_new)
-            i_old_h = int(i)
+                resid_prev = resid
+                i_new_h, sn_host, resid, stalled_dev = jax.device_get(
+                    (i_new, sn, resid_dev, stalled_dev)
+                )
+                i_new_h = int(i_new_h)
+                resid = float(resid)
+            i_old_h = i_h
             steps = i_new_h - i_old_h
             # per-iteration history from the rotation sines:
             # |s_{k+1}| = |sn_k| * |s_k|, seeded by the residual numerator
             # at tier entry (mirrors the reference's per-iteration print,
             # GMRES.hpp:225)
-            sn_h = np.asarray(sn)[i_old_h:i_new_h]
+            sn_h = sn_host[i_old_h:i_new_h]
             if use_fused:
-                hist_h = np.asarray(hist_dev)[i_old_h:i_new_h]
+                hist_h = hist_h_full[i_old_h:i_new_h]
                 p_of = [
                     fused_tiers[j] if 0 <= j < len(fused_tiers) else -1
                     for j in hist_h
                 ]
-                min_idx_h = int(min_idx_dev)
-            run = resid * normb
+            run = resid_prev * normb
             for k, snk in enumerate(sn_h):
                 run *= abs(snk)
                 history.append((
@@ -799,8 +819,8 @@ def gmres_device(
                     p_of[k] if use_fused else p,
                 ))
             total_it += steps
-            resid = float(resid_dev)
             i = i_new
+            i_h = i_new_h
             if (
                 not use_fused
                 and relaxed
@@ -833,7 +853,7 @@ def gmres_device(
                 )
             if resid < cfg.residual or total_it >= cfg.max_iters:
                 break
-            if int(i) >= cap - 1:
+            if i_h >= cap - 1:
                 if cap >= restart + 1:
                     break
                 # grow the basis by doubling and continue the SAME

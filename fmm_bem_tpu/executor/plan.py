@@ -872,6 +872,7 @@ class FmmPlan:
 
         self.near_rows = self.near_cols = self.near_vals = None
         self._otf_near = False
+        self._p2p_sb = None
         # on-the-fly near mode (ref EvalInteractionLazy.hpp:239-252):
         # no cached panel store — the regular quadrature is recomputed
         # inside every matvec and only the O(N) near-singular
@@ -954,6 +955,27 @@ class FmmPlan:
             and len(self.near_rows) > 0
             and hasattr(self.kernel, "near_select")
         )
+        # point-kernel P2P super-block structures (ops/p2p_tile.py):
+        # the fused Pallas pass replaces the chunked-vmap pair blocks
+        # on TPU/f32 for kernels sharing the Laplace tile math
+        if (
+            self.near_rows is None
+            and not self.dual
+            and getattr(self.kernel, "pallas_point_tile", False)
+            and len(self.p2p_src_slot)
+        ):
+            from fmm_bem_tpu.ops.p2p_tile import build_p2p_superblocks
+
+            K = self.src.leaf_pad
+            sb = int(min(512, max(32, (2 << 20) // (4 * K * 4))))
+            self._p2p_sb = build_p2p_superblocks(
+                self.p2p_src_slot,
+                self.p2p_tgt_slot,
+                len(self.src.leaf_ids),
+                len(self.tgt.leaf_ids),
+                m0=8,
+                sb=sb,
+            )
 
     def _near_candidate_entries(self, pp):
         """Near-SINGULAR entry candidates (sqrt(2A)/d >= 0.5, the ref's
@@ -1337,6 +1359,18 @@ class FmmPlan:
                 "s_box_center": jnp.asarray(self.src.tree.box_center, dt),
             }
         )
+        if getattr(self, "_p2p_sb", None) is not None:
+            sbm = self._p2p_sb
+            d["p2p_sb_loc_src"] = jnp.asarray(sbm["loc_src"])
+            d["p2p_sb_pidx"] = jnp.asarray(sbm["pidx_l"])
+            d["p2p_sb_ct"] = jnp.asarray(sbm["ct_l"])
+            # plan-constant [nl, 3, K] leaf xyz tiles for the packed
+            # charge ride-along (ops/p2p_tile.pack_xyzq)
+            d["p2p_sb_xyz3"] = jnp.asarray(
+                self.src.tree.points[self.src.leaf_body_idx]
+                .transpose(0, 2, 1),
+                dt,
+            )
         if getattr(self, "m2l_fam", None) is not None:
             f = self.m2l_fam
             d.update(
@@ -2016,6 +2050,11 @@ class FmmPlan:
         Morton body order, or (slots=True) per-source-leaf charge tiles
         [nl_s, K_s(*cdim)] with padded slots already zeroed."""
         kern = self.kernel
+        if "p2p_sb_loc_src" in d:
+            from fmm_bem_tpu.ops.near_panel import _use_pallas
+
+            if _use_pallas(jnp.dtype(self.config.dtype)):
+                return self._p2p_pass_pallas(d, qm, nl, K, slots)
         sslot = d["p2p_src_slot"]
         tslot = d["p2p_tgt_slot"]
         smask = d["s_leaf_body_mask"][sslot]
@@ -2060,6 +2099,36 @@ class FmmPlan:
         if slots:
             return jnp.where(d["t_slot_mask"][:, None], out, 0.0)
         return out[d["t_body_flat_slot"]]
+
+    def _p2p_pass_pallas(self, d, qm, nl, K, slots):
+        """Point P2P via the fused super-block Pallas kernel
+        (ops/p2p_tile.py) — the whole pair computation stays in VMEM
+        instead of materialising npairs*[K, K] planes in HBM."""
+        from fmm_bem_tpu.ops.p2p_tile import (
+            p2p_superblock_laplace,
+            pack_xyzq,
+        )
+
+        kern = self.kernel
+        if slots:
+            qlt = qm.reshape(nl, K)
+        else:
+            qlt = jnp.where(
+                d["s_leaf_body_mask"], qm[d["s_leaf_body_idx"]], 0.0
+            )
+        xyzq = pack_xyzq(d["p2p_sb_xyz3"], qlt[:, None, :])
+        md = {
+            "loc_src": d["p2p_sb_loc_src"],
+            "pidx_l": d["p2p_sb_pidx"],
+            "ct_l": d["p2p_sb_ct"],
+        }
+        out = p2p_superblock_laplace(
+            xyzq, md, self._p2p_sb, kern.eps2
+        )[:nl]
+        out_rows = out.transpose(0, 2, 1).reshape(nl * K, 4)
+        if slots:
+            return jnp.where(d["t_slot_mask"][:, None], out_rows, 0.0)
+        return out_rows[d["t_body_flat_slot"]]
 
     # ------------------------------------------------------------------
     # public API

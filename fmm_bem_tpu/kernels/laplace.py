@@ -135,6 +135,10 @@ class LaplaceKernel:
     scale_invariant = True
     #: self-interaction exclusion threshold on R^2 (ref :158)
     eps2 = 1e-8
+    #: the P2P pass may run as the fused super-block Pallas kernel
+    #: (ops/p2p_tile.py — pot + difference-form force, this kernel's
+    #: exact math); other point kernels keep the chunked-vmap path
+    pallas_point_tile = True
 
     # ----- expansion layout -----
     def width(self, p):

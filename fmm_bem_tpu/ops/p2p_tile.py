@@ -1,0 +1,211 @@
+"""Point-kernel P2P as one fused Pallas kernel (super-block layout).
+
+The chunked-vmap P2P pass materialises every [K, K] pair plane in HBM
+(npairs * K^2 floats per intermediate), which held the 1e6-point direct
+pass at ~13% of VPU peak (PERF.md round 4).  This kernel keeps the
+whole pair computation in VMEM:
+
+- target leaves are grouped into SUPER-BLOCKS of ``sb`` leaves; each
+  super-block's result tile ([sb, 4, K]) and its compacted source-tile
+  set ([ns_pad, 4, K] — near-field sources are Morton-local, so the
+  union of a super-block's source leaves is small) live in VMEM for
+  the whole block;
+- the grid is (num_superblocks, max_chunks); each step contracts one
+  target leaf against m0 source tiles gathered from the VMEM stage by
+  SMEM indices (the proven near-field-kernel pattern);
+- charges ride the xyz tiles as a packed [nl+1, 4, K] array rebuilt
+  per matvec (xyz part is plan-constant); the dummy tile sits at a
+  far-away sentinel position with zero charge.
+
+Laplace-specific math (pot + difference-form force, matching
+kernels/laplace.p2p exactly — LaplaceSpherical.hpp:153-162); other
+point kernels keep the vmap path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+#: dummy source tiles sit here: far enough that inv_r underflows to a
+#: harmless tiny value even against real targets, with q = 0 anyway
+SENTINEL = 1e15
+
+
+def build_p2p_superblocks(sslot, tslot, nl_s, nl_t, m0=8, sb=256):
+    """Host-side chunk + super-block structures.
+
+    Returns dict of numpy arrays:
+      loc_src [nsb, ns_pad]  global source-leaf id per local slot
+                             (dummy slots -> nl_s, the sentinel tile)
+      pidx_l  [nsb, nj, m0]  LOCAL source slot per chunk entry
+      ct_l    [nsb, nj]      local target leaf per chunk (dummy = sb)
+    """
+    sslot = np.asarray(sslot)
+    tslot = np.asarray(tslot)
+    order = np.lexsort((sslot, tslot))
+    ss, ts = sslot[order], tslot[order]
+    row_ptr = np.searchsorted(ts, np.arange(nl_t + 1))
+    m_per = np.diff(row_ptr)
+    nchunk = -(-m_per // m0)
+
+    nsb = max(-(-nl_t // sb), 1)
+    # per-leaf chunk expansion (global)
+    C = int(nchunk.sum())
+    l_of_c = np.repeat(np.arange(nl_t), nchunk)
+    cum = np.concatenate([[0], np.cumsum(nchunk)])
+    j_of_c = np.arange(C) - cum[l_of_c]
+    starts = row_ptr[l_of_c] + j_of_c * m0
+    counts = np.minimum(row_ptr[l_of_c + 1] - starts, m0)
+    k = np.arange(m0)
+    pid = starts[:, None] + k[None, :]
+    valid = k[None, :] < counts[:, None]
+    src_g = np.where(
+        valid, ss[np.clip(pid, 0, max(len(ss) - 1, 0))], nl_s
+    ).astype(np.int64)
+
+    sb_of_c = l_of_c // sb
+    nj = int(np.bincount(sb_of_c, minlength=nsb).max()) if C else 1
+
+    ns_pad = 8
+    loc_lists = []
+    for i in range(nsb):
+        sel = np.nonzero(sb_of_c == i)[0]
+        uniq = np.unique(src_g[sel])
+        uniq = uniq[uniq != nl_s]
+        loc_lists.append(uniq)
+        ns_pad = max(ns_pad, len(uniq) + 1)
+    ns_pad = -(-ns_pad // 8) * 8
+
+    loc_src = np.full((nsb, ns_pad), nl_s, np.int32)
+    pidx_l = np.full((nsb, nj, m0), ns_pad - 1, np.int32)
+    ct_l = np.full((nsb, nj), sb, np.int32)
+    for i in range(nsb):
+        uniq = loc_lists[i]
+        loc_src[i, : len(uniq)] = uniq
+        # global -> local map (dummy nl_s -> last slot, which holds the
+        # sentinel tile because loc_src is prefilled with nl_s)
+        g2l = {g: li for li, g in enumerate(uniq)}
+        sel = np.nonzero(sb_of_c == i)[0]
+        for jj, c in enumerate(sel):
+            ct_l[i, jj] = l_of_c[c] - i * sb
+            for kk in range(m0):
+                g = src_g[c, kk]
+                if g != nl_s:
+                    pidx_l[i, jj, kk] = g2l[g]
+    return {
+        "loc_src": loc_src,
+        "pidx_l": pidx_l,
+        "ct_l": ct_l,
+        "nsb": nsb,
+        "nj": nj,
+        "ns_pad": ns_pad,
+        "sb": sb,
+        "m0": m0,
+        "npairs": int(len(ss)),
+    }
+
+
+def pack_xyzq(xyz_tiles, q_tiles):
+    """[nl, 3, K] xyz + [nl, 1, K] charges -> [nl+1, 4, K] with the
+    sentinel dummy tile appended."""
+    nl, _, K = xyz_tiles.shape
+    body = jnp.concatenate([xyz_tiles, q_tiles], axis=1)
+    dummy = jnp.concatenate(
+        [
+            jnp.full((1, 3, K), SENTINEL, body.dtype),
+            jnp.zeros((1, 1, K), body.dtype),
+        ],
+        axis=1,
+    )
+    return jnp.concatenate([body, dummy], axis=0)
+
+
+def p2p_superblock_laplace(xyzq, meta_dev, meta, eps2, interpret=False):
+    """Run the fused P2P kernel.  Returns [nsb*sb, 4, K] leaf result
+    tiles (pot, fx, fy, fz; padded target leaves hold garbage rows the
+    caller masks)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nsb, nj = meta["nsb"], meta["nj"]
+    sb, m0, ns_pad = meta["sb"], meta["m0"], meta["ns_pad"]
+    K = xyzq.shape[2]
+    dt = xyzq.dtype
+
+    src_stage = xyzq[meta_dev["loc_src"]]  # [nsb, ns_pad, 4, K]
+    # target tiles: leaves are globally ordered, so the super-block's
+    # targets are a contiguous slice — pad to nsb*sb and reshape
+    nl_t_pad = nsb * sb
+    tgt = xyzq[:-1]
+    if tgt.shape[0] < nl_t_pad:
+        tgt = jnp.concatenate(
+            [
+                tgt,
+                jnp.broadcast_to(
+                    xyzq[-1:], (nl_t_pad - tgt.shape[0], 4, K)
+                ),
+            ]
+        )
+    tgt_stage = tgt[:nl_t_pad].reshape(nsb, sb, 4, K)
+
+    def kern(pidx_ref, ct_ref, src_ref, tgt_ref, o_ref):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            o_ref[:] = jnp.zeros_like(o_ref)
+
+        ct = ct_ref[0, 0]
+
+        @pl.when(ct < sb)
+        def _():
+            t = tgt_ref[0, pl.ds(ct, 1)][0]  # [4, K]
+            # target components as [K, 1] columns (one transpose per
+            # chunk; sources stay row-major)
+            tc = [t[d: d + 1, :].reshape(K, 1) for d in range(3)]
+            acc = jnp.zeros((4, K), dt)
+            for kk in range(m0):
+                s = src_ref[0, pl.ds(pidx_ref[0, 0, kk], 1)][0]
+                dd = [s[d: d + 1, :] - tc[d] for d in range(3)]
+                r2 = dd[0] * dd[0] + dd[1] * dd[1] + dd[2] * dd[2]
+                inv_r2 = jnp.where(
+                    r2 < eps2, 0.0, 1.0 / jnp.maximum(r2, eps2)
+                )
+                inv_r = jnp.sqrt(inv_r2)
+                q = s[3: 4, :]  # [1, K] source charges
+                pot = jnp.sum(q * inv_r, axis=1)  # [K]
+                w = q * inv_r * inv_r2
+                f = [jnp.sum(w * dd[d], axis=1) for d in range(3)]
+                acc = acc + jnp.stack([pot] + f, axis=0)
+            o_ref[0, pl.ds(ct, 1)] += acc[None]
+
+    out = pl.pallas_call(
+        kern,
+        grid=(nsb, nj),
+        in_specs=[
+            pl.BlockSpec((1, 1, m0), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (i, j),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, ns_pad, 4, K), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sb, 4, K), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, sb, 4, K), lambda i, j: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((nsb, sb, 4, K), dt),
+        cost_estimate=pl.CostEstimate(
+            flops=int(2 * meta["npairs"] * K * K * 12),
+            bytes_accessed=int(src_stage.size + tgt_stage.size) * 4,
+            transcendentals=int(meta["npairs"] * K * K),
+        ),
+        interpret=interpret,
+    )(meta_dev["pidx_l"], meta_dev["ct_l"], src_stage, tgt_stage)
+    return out.reshape(nsb * sb, 4, K)

@@ -58,7 +58,11 @@ def main():
     kern = LaplaceBEMKernel(K=3)
     t0 = time.time()
     plan = FmmPlan(
-        kern, fields, FMMConfig(ncrit=64, dtype="float32", max_p=MAX_P)
+        kern, fields,
+        # leaf_pad pinned like the bench: constant tile shapes across
+        # sizes (and no auto-ncrit retune changing the workload mid-
+        # comparison)
+        FMMConfig(ncrit=64, dtype="float32", max_p=MAX_P, leaf_pad=64),
     )
     print(
         f"panels={n} max_p={MAX_P} backend={jax.devices()[0].platform} "
@@ -80,6 +84,15 @@ def main():
         phi = np.ones(n)
         exact = np.ones(n)
     b_user = np.asarray(plan.apply_flipped_bc(phi, p=MAX_P)[:, 0])
+    # the flipped-BC RHS evaluation cached a SECOND near-panel store
+    # (~5.6 GB at 524k panels) plus full-p body tables; the solve needs
+    # only the default variant — drop the device caches so both
+    # variants never coexist (the 524k leg OOM'd exactly here)
+    plan._near_panel_cache.clear()
+    for attr in ("_aux_cache", "_aux_slots_cache",
+                 "_p2m_tab_cache", "_l2p_tab_cache"):
+        if hasattr(plan, attr):
+            setattr(plan, attr, {})
 
     # the system operator is the DEFAULT-BC plan (first kind: solve
     # G dphi/dn = b); diagonal PC like the reference driver default
@@ -92,8 +105,16 @@ def main():
     M = lambda r: inv_slots * r
 
     b = to_slots(b_user)
-    calib = plan.calibrate_eps()
-    print(f"calibrated eps(p): c={calib[0]}, gamma={calib[1]}", flush=True)
+    trim_early = os.environ.get("RELAX_MODES", "all") == "trim"
+    if trim_early:
+        # the calibrated mode is skipped in trim runs; don't pay the
+        # body-order probe matvecs (they OOM'd the 524k leg: the body
+        # path's full-p tables stack on top of the slot tables)
+        calib = (None, None)
+    else:
+        calib = plan.calibrate_eps()
+        print(f"calibrated eps(p): c={calib[0]}, gamma={calib[1]}",
+              flush=True)
 
     def run(label, cfg, p_fixed):
         # the tunneled backend drops a connection every ~15 min of
@@ -160,6 +181,14 @@ def main():
             run("relaxed Bouras p_min=3",
                 SolverConfig(**base, p_min=3, variable_p=True), None),
         ]
+    # precompute the tier operands, then drop the full-p BODY tables
+    # they were sliced from — at 524k those caches (~1 GB) pushed the
+    # 3-tier solve over the 16 GB chip on top of the 5.6 GB near store
+    for pt in (3, 5, MAX_P):
+        op4p(pt)
+    for attr in ("_p2m_tab_cache", "_l2p_tab_cache"):
+        if hasattr(plan, attr):
+            setattr(plan, attr, {})
     results.append(
         run("relaxed tiers (3,5,10)",
             SolverConfig(**base, p_min=1, variable_p=True,

@@ -92,7 +92,17 @@ def near_bytes(plan):
     panels, meta = plan.near_panels()
     if panels is None:
         return 0
-    return int(np.prod(panels["A"].shape)) * 4
+    if "A" in panels:
+        return int(np.prod(panels["A"].shape)) * 4
+    # otf mode: the near store is the correction COO + the otf tiles
+    tot = 0
+    for k in ("corr_rows", "corr_cols", "corr_vals"):
+        if k in panels:
+            tot += int(np.prod(panels[k].shape)) * panels[k].dtype.itemsize
+    for grp in ("s_tiles", "t_tiles"):
+        for v in panels["otf_tiles"][grp].values():
+            tot += int(np.prod(v.shape)) * v.dtype.itemsize
+    return tot
 
 
 def main():
@@ -112,32 +122,47 @@ def main():
                 prev = json.load(f)
             out["bem"] = prev.get("bem", [])
             out["points"] = prev.get("points", [])
+            out["bem_otf"] = prev.get("bem_otf", [])
         except Exception:
             pass
 
-    recs = () if MODE == "points" else ((7, 8) if QUICK else (7, 8, 9))
-    if recs:
+    if MODE == "otf":
+        # on-the-fly near mode (FMMConfig.near_mode="otf"): the
+        # memory-ceiling breaker — record the cached-vs-otf crossover
+        # at 524k and the >1M-panel capability point (rec 10 = 2.1M
+        # panels, impossible with the ~22 GB cached store)
+        legs = [(9, "otf"), (10, "otf")]
+    elif MODE == "points":
+        legs = []
+    else:
+        legs = [(r, "cached") for r in ((7, 8) if QUICK else (7, 8, 9))]
+    if legs and MODE != "otf":
         out["bem"] = []
-    for rec in recs:
+    if MODE == "otf":
+        out.setdefault("bem_otf", [])
+        out["bem_otf"] = []
+    for rec, nm in legs:
         tris = unit_sphere(rec)
         n = len(tris)
         fields = make_panels(tris, K=3)
         t0 = time.time()
         plan = FmmPlan(
             LaplaceBEMKernel(K=3), fields,
-            FMMConfig(ncrit=64, dtype="float32", max_p=8, leaf_pad=64),
+            FMMConfig(ncrit=64, dtype="float32", max_p=8, leaf_pad=64,
+                      near_mode=nm),
         )
         build_s = time.time() - t0
         nb = near_bytes(plan)
         dt, compile_s = time_matvec(plan, n)
         rec_d = {
-            "rec": rec, "n_panels": n, "build_s": round(build_s, 2),
+            "rec": rec, "n_panels": n, "near_mode": nm,
+            "build_s": round(build_s, 2),
             "compile_s": round(compile_s, 1),
             "matvec_ms": round(dt * 1e3, 3),
             "pairs_per_s": n * n / dt,
             "near_panel_MB": round(nb / 1e6, 1),
         }
-        out["bem"].append(rec_d)
+        out["bem_otf" if nm == "otf" else "bem"].append(rec_d)
         print(rec_d, flush=True)
         del plan
 
@@ -179,9 +204,10 @@ def main():
     print("| workload | N | build s | matvec ms | eff. pairs/s | "
           "near MB |")
     print("|---|---:|---:|---:|---:|---:|")
-    for r in out["bem"]:
-        print(f"| BEM sphere rec {r['rec']} | {r['n_panels']:,} | "
-              f"{r['build_s']} | {r['matvec_ms']} | "
+    for r in out["bem"] + out.get("bem_otf", []):
+        nm = r.get("near_mode", "cached")
+        print(f"| BEM sphere rec {r['rec']} ({nm}) | {r['n_panels']:,} "
+              f"| {r['build_s']} | {r['matvec_ms']} | "
               f"{r['pairs_per_s']:.3e} | {r['near_panel_MB']} |")
     for r in out["points"]:
         print(f"| points ncrit=125 | {r['n']:,} | {r['build_s']} | "

@@ -1362,8 +1362,7 @@ class FmmPlan:
         if getattr(self, "_p2p_sb", None) is not None:
             sbm = self._p2p_sb
             d["p2p_sb_loc_src"] = jnp.asarray(sbm["loc_src"])
-            d["p2p_sb_pidx"] = jnp.asarray(sbm["pidx_l"])
-            d["p2p_sb_ct"] = jnp.asarray(sbm["ct_l"])
+            d["p2p_sb_cmeta"] = jnp.asarray(sbm["cmeta"])
             # plan-constant [nl, 3, K] leaf xyz tiles for the packed
             # charge ride-along (ops/p2p_tile.pack_xyzq)
             d["p2p_sb_xyz3"] = jnp.asarray(
@@ -2119,8 +2118,7 @@ class FmmPlan:
         xyzq = pack_xyzq(d["p2p_sb_xyz3"], qlt[:, None, :])
         md = {
             "loc_src": d["p2p_sb_loc_src"],
-            "pidx_l": d["p2p_sb_pidx"],
-            "ct_l": d["p2p_sb_ct"],
+            "cmeta": d["p2p_sb_cmeta"],
         }
         out = p2p_superblock_laplace(
             xyzq, md, self._p2p_sb, kern.eps2

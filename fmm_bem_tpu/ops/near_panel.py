@@ -687,10 +687,18 @@ def panel_matvec(panels_dev, meta, ql, use_pallas=None):
     C, KTr, Lb = A.shape
     m0 = pidx.shape[1]
     KSc = meta.KS * meta.cdim
-    if use_pallas and _fused_fits(A, ql, meta, meta.block_rows):
-        return _contract_pallas_fused(
-            A, pidx, chunk_tgt, ql, meta, meta.block_rows
-        )
+    if use_pallas:
+        # shrink the grid block until the resident buffers (leaf
+        # accumulator + charge table + double-buffered panel blocks)
+        # fit VMEM — any power-of-two divisor of block_rows still
+        # divides the padded chunk count
+        bl = meta.block_rows
+        while bl >= 8 and not _fused_fits(A, ql, meta, bl):
+            bl //= 2
+        if bl >= 8 and _fused_fits(A, ql, meta, bl):
+            return _contract_pallas_fused(
+                A, pidx, chunk_tgt, ql, meta, bl
+            )
     xq = jnp.concatenate([ql, jnp.zeros((1, KSc), ql.dtype)], axis=0)
     xb = xq[pidx].reshape(C, m0 * KSc)
     if Lb > m0 * KSc:

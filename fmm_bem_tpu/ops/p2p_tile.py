@@ -80,9 +80,16 @@ def build_p2p_superblocks(sslot, tslot, nl_s, nl_t, m0=8, sb=256):
         ns_pad = max(ns_pad, len(uniq) + 1)
     ns_pad = -(-ns_pad // 8) * 8
 
+    # 8 chunks per grid step: Mosaic SMEM blocks need their
+    # second-to-last dim divisible by 8, and the batching amortises
+    # per-step grid overhead 8x.  Chunk metadata packs [m0 local src
+    # slots, local target] per row so ONE SMEM input carries it all.
+    CB = 8
+    nj8 = max(-(-nj // CB), 1)
+    nj_pad = nj8 * CB
     loc_src = np.full((nsb, ns_pad), nl_s, np.int32)
-    pidx_l = np.full((nsb, nj, m0), ns_pad - 1, np.int32)
-    ct_l = np.full((nsb, nj), sb, np.int32)
+    cmeta = np.full((nsb, nj_pad, m0 + 1), ns_pad - 1, np.int32)
+    cmeta[:, :, m0] = sb  # dummy chunks skip via ct == sb
     for i in range(nsb):
         uniq = loc_lists[i]
         loc_src[i, : len(uniq)] = uniq
@@ -91,20 +98,20 @@ def build_p2p_superblocks(sslot, tslot, nl_s, nl_t, m0=8, sb=256):
         g2l = {g: li for li, g in enumerate(uniq)}
         sel = np.nonzero(sb_of_c == i)[0]
         for jj, c in enumerate(sel):
-            ct_l[i, jj] = l_of_c[c] - i * sb
+            cmeta[i, jj, m0] = l_of_c[c] - i * sb
             for kk in range(m0):
                 g = src_g[c, kk]
                 if g != nl_s:
-                    pidx_l[i, jj, kk] = g2l[g]
+                    cmeta[i, jj, kk] = g2l[g]
     return {
         "loc_src": loc_src,
-        "pidx_l": pidx_l,
-        "ct_l": ct_l,
+        "cmeta": cmeta,
         "nsb": nsb,
-        "nj": nj,
+        "nj8": nj8,
         "ns_pad": ns_pad,
         "sb": sb,
         "m0": m0,
+        "cb": CB,
         "npairs": int(len(ss)),
     }
 
@@ -131,8 +138,9 @@ def p2p_superblock_laplace(xyzq, meta_dev, meta, eps2, interpret=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    nsb, nj = meta["nsb"], meta["nj"]
+    nsb, nj8 = meta["nsb"], meta["nj8"]
     sb, m0, ns_pad = meta["sb"], meta["m0"], meta["ns_pad"]
+    CB = meta["cb"]
     K = xyzq.shape[2]
     dt = xyzq.dtype
 
@@ -152,44 +160,43 @@ def p2p_superblock_laplace(xyzq, meta_dev, meta, eps2, interpret=False):
         )
     tgt_stage = tgt[:nl_t_pad].reshape(nsb, sb, 4, K)
 
-    def kern(pidx_ref, ct_ref, src_ref, tgt_ref, o_ref):
+    def kern(cm_ref, src_ref, tgt_ref, o_ref):
         j = pl.program_id(1)
 
         @pl.when(j == 0)
         def _():
             o_ref[:] = jnp.zeros_like(o_ref)
 
-        ct = ct_ref[0, 0]
+        for c8 in range(CB):
+            ct = cm_ref[0, c8, m0]
 
-        @pl.when(ct < sb)
-        def _():
-            t = tgt_ref[0, pl.ds(ct, 1)][0]  # [4, K]
-            # target components as [K, 1] columns (one transpose per
-            # chunk; sources stay row-major)
-            tc = [t[d: d + 1, :].reshape(K, 1) for d in range(3)]
-            acc = jnp.zeros((4, K), dt)
-            for kk in range(m0):
-                s = src_ref[0, pl.ds(pidx_ref[0, 0, kk], 1)][0]
-                dd = [s[d: d + 1, :] - tc[d] for d in range(3)]
-                r2 = dd[0] * dd[0] + dd[1] * dd[1] + dd[2] * dd[2]
-                inv_r2 = jnp.where(
-                    r2 < eps2, 0.0, 1.0 / jnp.maximum(r2, eps2)
-                )
-                inv_r = jnp.sqrt(inv_r2)
-                q = s[3: 4, :]  # [1, K] source charges
-                pot = jnp.sum(q * inv_r, axis=1)  # [K]
-                w = q * inv_r * inv_r2
-                f = [jnp.sum(w * dd[d], axis=1) for d in range(3)]
-                acc = acc + jnp.stack([pot] + f, axis=0)
-            o_ref[0, pl.ds(ct, 1)] += acc[None]
+            @pl.when(ct < sb)
+            def _(c8=c8, ct=ct):
+                t = tgt_ref[0, pl.ds(ct, 1)][0]  # [4, K]
+                # target components as [K, 1] columns (one transpose
+                # per chunk; sources stay row-major)
+                tc = [t[d: d + 1, :].reshape(K, 1) for d in range(3)]
+                acc = jnp.zeros((4, K), dt)
+                for kk in range(m0):
+                    s = src_ref[0, pl.ds(cm_ref[0, c8, kk], 1)][0]
+                    dd = [s[d: d + 1, :] - tc[d] for d in range(3)]
+                    r2 = dd[0] * dd[0] + dd[1] * dd[1] + dd[2] * dd[2]
+                    inv_r2 = jnp.where(
+                        r2 < eps2, 0.0, 1.0 / jnp.maximum(r2, eps2)
+                    )
+                    inv_r = jnp.sqrt(inv_r2)
+                    q = s[3: 4, :]  # [1, K] source charges
+                    pot = jnp.sum(q * inv_r, axis=1)  # [K]
+                    w = q * inv_r * inv_r2
+                    f = [jnp.sum(w * dd[d], axis=1) for d in range(3)]
+                    acc = acc + jnp.stack([pot] + f, axis=0)
+                o_ref[0, pl.ds(ct, 1)] += acc[None]
 
     out = pl.pallas_call(
         kern,
-        grid=(nsb, nj),
+        grid=(nsb, nj8),
         in_specs=[
-            pl.BlockSpec((1, 1, m0), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i, j: (i, j),
+            pl.BlockSpec((1, CB, m0 + 1), lambda i, j: (i, j, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, ns_pad, 4, K), lambda i, j: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -207,5 +214,5 @@ def p2p_superblock_laplace(xyzq, meta_dev, meta, eps2, interpret=False):
             transcendentals=int(meta["npairs"] * K * K),
         ),
         interpret=interpret,
-    )(meta_dev["pidx_l"], meta_dev["ct_l"], src_stage, tgt_stage)
+    )(meta_dev["cmeta"], src_stage, tgt_stage)
     return out.reshape(nsb * sb, 4, K)

@@ -751,20 +751,39 @@ def gmres_device(
             if checkpoint_path is not None:
                 block = min(block, checkpoint_every)
             it_left = jnp.asarray(block, jnp.int32)
-            if use_fused:
+            fused_now = use_fused and not getattr(
+                ctx, "fused_failed", False
+            )
+            if fused_now:
                 # one call runs the whole tier cascade (see make_fused)
-                key = ("fused", cap)
-                if key not in ctx.tier_fns:
-                    ctx.tier_fns[key] = make_fused(cap)
-                if not hasattr(ctx, "_fused_operands"):
-                    ctx._fused_operands = tuple(
-                        operand_for_p(t) for t in fused_tiers
+                try:
+                    key = ("fused", cap)
+                    if key not in ctx.tier_fns:
+                        ctx.tier_fns[key] = make_fused(cap)
+                    if not hasattr(ctx, "_fused_operands"):
+                        ctx._fused_operands = tuple(
+                            operand_for_p(t) for t in fused_tiers
+                        )
+                    st = ctx.tier_fns[key](
+                        ctx._fused_operands, V, Z, H, cs, sn, s, i,
+                        resid_dev, it_left, normb_arr,
+                        jnp.asarray(min_idx_h, jnp.int32),
                     )
-                st = ctx.tier_fns[key](
-                    ctx._fused_operands, V, Z, H, cs, sn, s, i,
-                    resid_dev, it_left, normb_arr,
-                    jnp.asarray(min_idx_h, jnp.int32),
-                )
+                except Exception as e:  # pragma: no cover - hw-dependent
+                    # very large problems can blow the (remote) compile
+                    # of the multi-branch switch executable; fall back
+                    # permanently to per-tier block executables — the
+                    # schedule stays tier-quantised, at the cost of one
+                    # dispatch per tier CHANGE instead of per cycle
+                    ctx.fused_failed = True
+                    ctx.tier_fns.pop(("fused", cap), None)
+                    fused_now = False
+                    if verbose:
+                        print(
+                            f"fused tier cascade unavailable "
+                            f"({type(e).__name__}); per-tier blocks"
+                        )
+            if fused_now:
                 (V, Z, H, cs, sn, s, i_new, resid_dev, min_idx_dev,
                  hist_dev) = st
                 stalled_dev = False  # demotion handled in-loop
@@ -805,7 +824,7 @@ def gmres_device(
             # at tier entry (mirrors the reference's per-iteration print,
             # GMRES.hpp:225)
             sn_h = sn_host[i_old_h:i_new_h]
-            if use_fused:
+            if fused_now:
                 hist_h = hist_h_full[i_old_h:i_new_h]
                 p_of = [
                     fused_tiers[j] if 0 <= j < len(fused_tiers) else -1
@@ -816,20 +835,21 @@ def gmres_device(
                 run *= abs(snk)
                 history.append((
                     total_it + k + 1, run / normb,
-                    p_of[k] if use_fused else p,
+                    p_of[k] if fused_now else p,
                 ))
             total_it += steps
             i = i_new
             i_h = i_new_h
             if (
-                not use_fused
+                not fused_now
                 and relaxed
                 and bool(stalled_dev)
                 and resid >= cfg.residual
+                and p is not None
                 and p < cfg.max_p
             ):
                 p_boost += 2
-            if use_fused and steps:
+            if fused_now and steps:
                 p = p_of[-1]
             if verbose and steps:
                 print(

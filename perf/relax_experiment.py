@@ -184,15 +184,19 @@ def main():
     # precompute the tier operands, then drop the full-p BODY tables
     # they were sliced from — at 524k those caches (~1 GB) pushed the
     # 3-tier solve over the 16 GB chip on top of the 5.6 GB near store
-    for pt in (3, 5, MAX_P):
+    tier_env = os.environ.get("RELAX_TIERS", "3,5,max")
+    tiers = tuple(
+        MAX_P if t == "max" else int(t) for t in tier_env.split(",")
+    )
+    for pt in tiers:
         op4p(pt)
     for attr in ("_p2m_tab_cache", "_l2p_tab_cache"):
         if hasattr(plan, attr):
             setattr(plan, attr, {})
     results.append(
-        run("relaxed tiers (3,5,10)",
+        run(f"relaxed tiers {tiers}",
             SolverConfig(**base, p_min=1, variable_p=True,
-                         p_tiers=(3, 5, MAX_P)), None)
+                         p_tiers=tiers), None)
     )
     if calib[0] is not None and not trim:
         scfg = SolverConfig(**base, p_min=1, variable_p=True)

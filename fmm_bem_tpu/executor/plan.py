@@ -1064,6 +1064,22 @@ class FmmPlan:
             [ts[order], np.full(pad, len(self.tgt.leaf_ids), np.int32)]
         ).astype(np.int32)
         self._otf_chunk = ch
+        # fused super-block kernel structures (ops/otf_tile.py) for
+        # kernels sharing the Laplace-BEM quadrature-block math
+        self._otf_sb = None
+        if getattr(kern, "pallas_otf_tile", False):
+            from fmm_bem_tpu.ops.p2p_tile import build_p2p_superblocks
+
+            K = self.src.leaf_pad
+            sbw = int(min(512, max(32, (2 << 20) // (4 * K * 4))))
+            self._otf_sb = build_p2p_superblocks(
+                self.p2p_src_slot,
+                self.p2p_tgt_slot,
+                len(self.src.leaf_ids),
+                len(self.tgt.leaf_ids),
+                m0=8,
+                sb=sbw,
+            )
 
     def near_panels(self, tgt_fields_host=None):
         """Bucketed leaf-panel form of the near field for one BC
@@ -1162,7 +1178,7 @@ class FmmPlan:
         t_host = dict(self.tgt.fields)
         t_host["bc"] = tgt_fields_host.get("bc", t_host.get("bc"))
         t_tiles, t_mask = tiles(self.tgt, t_host)
-        return {
+        out = {
             "s_tiles": s_tiles,
             "t_tiles": t_tiles,
             "s_mask": s_mask,
@@ -1170,6 +1186,35 @@ class FmmPlan:
             "sslot": jnp.asarray(self._otf_sslot),
             "tslot": jnp.asarray(self._otf_tslot),
         }
+        if getattr(self, "_otf_sb", None) is not None:
+            from fmm_bem_tpu.ops.otf_tile import (
+                pack_otf_src,
+                pack_otf_tgt,
+            )
+
+            if not hasattr(self, "_otf_src_pack"):
+                idx = self.src.leaf_body_idx
+                tiled = {
+                    k: np.asarray(self.src.fields[k])[idx]
+                    for k in ("xyz", "qp_off", "qw", "area", "normal")
+                }
+                self._otf_KQ = tiled["qp_off"].shape[2]
+                self._otf_src_pack = pack_otf_src(
+                    tiled, self.src.leaf_body_mask, self._otf_KQ
+                )
+            t_idx = self.tgt.leaf_body_idx
+            out["sb_src"] = jnp.asarray(self._otf_src_pack, dt)
+            out["sb_tgt"] = jnp.asarray(
+                pack_otf_tgt(
+                    np.asarray(self.tgt.fields["xyz"])[t_idx],
+                    np.asarray(t_host["bc"])[t_idx],
+                    self.tgt.leaf_body_mask,
+                ),
+                dt,
+            )
+            out["sb_loc_src"] = jnp.asarray(self._otf_sb["loc_src"])
+            out["sb_cmeta"] = jnp.asarray(self._otf_sb["cmeta"])
+        return out
 
     def _near_otf_core(self, dev, ql):
         """On-the-fly near product from leaf-tiled charges: chunked
@@ -1180,32 +1225,54 @@ class FmmPlan:
         KT = self.tgt.leaf_pad
         nl_t = len(self.tgt.leaf_ids)
         ot = dev["otf_tiles"]
-        sslot, tslot = ot["sslot"], ot["tslot"]
-        ch = self._otf_chunk  # static (baked into the trace)
-        nch = sslot.shape[0] // ch
-        qlz = jnp.concatenate(
-            [ql, jnp.zeros((1, ql.shape[1]), ql.dtype)], axis=0
-        )
-        s_tiles, t_tiles = ot["s_tiles"], ot["t_tiles"]
-        s_mask, t_mask = ot["s_mask"], ot["t_mask"]
+        from fmm_bem_tpu.ops.near_panel import _use_pallas
 
-        def one(args):
-            ssl, tsl = args
-            sf = {k: v[ssl] for k, v in s_tiles.items()}
-            tf = {k: v[tsl] for k, v in t_tiles.items()}
-            blocks = jax.vmap(kern.near_block_device)(
-                tf, sf, t_mask[tsl], s_mask[ssl]
+        if "sb_src" in ot and _use_pallas(ql.dtype):
+            # fused super-block kernel: blocks computed and contracted
+            # entirely in VMEM (ops/otf_tile.py)
+            from fmm_bem_tpu.ops.otf_tile import otf_superblock_bem
+
+            qt = jnp.concatenate(
+                [ql, jnp.zeros((1, ql.shape[1]), ql.dtype)], axis=0
+            )[:, None, :]
+            res = otf_superblock_bem(
+                ot["sb_src"],
+                qt,
+                ot["sb_tgt"],
+                {"loc_src": ot["sb_loc_src"],
+                 "cmeta": ot["sb_cmeta"]},
+                self._otf_sb,
+                self._otf_KQ,
+                kappa=float(getattr(kern, "kappa", 0.0) or 0.0),
+            )[:nl_t]
+        else:
+            sslot, tslot = ot["sslot"], ot["tslot"]
+            ch = self._otf_chunk  # static (baked into the trace)
+            nch = sslot.shape[0] // ch
+            qlz = jnp.concatenate(
+                [ql, jnp.zeros((1, ql.shape[1]), ql.dtype)], axis=0
             )
-            return jnp.einsum("cts,cs->ct", blocks, qlz[ssl])
+            s_tiles, t_tiles = ot["s_tiles"], ot["t_tiles"]
+            s_mask, t_mask = ot["s_mask"], ot["t_mask"]
 
-        outs = jax.lax.map(
-            one, (sslot.reshape(nch, ch), tslot.reshape(nch, ch))
-        )
-        out = outs.reshape(nch * ch, KT * rdim)
-        seg = jax.ops.segment_sum(
-            out, tslot, num_segments=nl_t + 1, indices_are_sorted=True
-        )
-        res = seg[:nl_t]
+            def one(args):
+                ssl, tsl = args
+                sf = {k: v[ssl] for k, v in s_tiles.items()}
+                tf = {k: v[tsl] for k, v in t_tiles.items()}
+                blocks = jax.vmap(kern.near_block_device)(
+                    tf, sf, t_mask[tsl], s_mask[ssl]
+                )
+                return jnp.einsum("cts,cs->ct", blocks, qlz[ssl])
+
+            outs = jax.lax.map(
+                one, (sslot.reshape(nch, ch), tslot.reshape(nch, ch))
+            )
+            out = outs.reshape(nch * ch, KT * rdim)
+            seg = jax.ops.segment_sum(
+                out, tslot, num_segments=nl_t + 1,
+                indices_are_sorted=True,
+            )
+            res = seg[:nl_t]
         if "corr_vals" in dev:
             # correction deltas: sorted slot-space COO (O(N) entries)
             v = dev["corr_vals"] * ql.reshape(-1)[dev["corr_cols"]]

@@ -186,6 +186,9 @@ class LaplaceBEMKernel:
         return np.where(np.asarray(bc_rows) == 0.0, vals[:, 0], vals[:, 1])
 
     kappa = 0.0  # Yukawa subclassing hook for the shared block builder
+    #: the OTF near product may run as the fused super-block Pallas
+    #: kernel (ops/otf_tile.py — this class's near_block_device math)
+    pallas_otf_tile = True
 
     def near_block_device(self, tf_rows, sf_rows, tmask, smask):
         """Regular K-point quadrature interaction block of one leaf

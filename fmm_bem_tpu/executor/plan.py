@@ -1033,10 +1033,12 @@ class FmmPlan:
                 self.tgt.fields, self.src.fields, rows, cols
             )
         )
-        # slot-space sorted COO of the correction DELTAS: ~6 entries
-        # per panel on surface meshes, so COO (12 B/entry) beats the
-        # panel-block layout by ~50x — the whole point of this mode is
-        # the O(N) near store
+        # correction DELTAS in leaf-aligned value windows: a target
+        # body's ~25 near-singular corrections cluster in 2-4 source
+        # LEAVES, so grouping per (target slot, source leaf) lets the
+        # per-iteration product gather whole 256 B charge tiles and
+        # dense-reduce — the naive sorted COO ran its 13M scalar
+        # gathers + scatter at 65M entries/s (199 ms at 524k panels)
         row_slot = self.tgt.body_flat_slot[rows]
         order = np.argsort(row_slot, kind="stable")
         self.near_rows = rows[order]
@@ -1046,6 +1048,31 @@ class FmmPlan:
         self._otf_corr_cols = self.src.body_flat_slot[
             self.near_cols
         ].astype(np.int32)
+        K_s = self.src.leaf_pad
+        nl_s = len(self.src.leaf_ids)
+        gk = self._otf_corr_rows.astype(np.int64) * (nl_s + 1) + (
+            self._otf_corr_cols // K_s
+        )
+        ug, ginv = np.unique(gk, return_inverse=True)
+        G = len(ug)
+        self._otf_corr_ginv = ginv.astype(np.int64)
+        self._otf_corr_gleaf = (ug % (nl_s + 1)).astype(np.int32)
+        grow = (ug // (nl_s + 1)).astype(np.int64)
+        # per-target-slot group lists (groups are row-major sorted)
+        urow, rinv = np.unique(grow, return_inverse=True)
+        R = len(urow)
+        fan = np.bincount(rinv)
+        Fw = int(max(fan.max(initial=1), 1))
+        gidx = np.full((R, Fw), G, np.int32)
+        korder = np.argsort(rinv, kind="stable")
+        kk = np.concatenate([np.arange(c) for c in fan]) if R else \
+            np.zeros(0, np.int64)
+        gidx[rinv[korder], kk] = korder.astype(np.int32)
+        nslots_t = len(self.tgt.leaf_ids) * self.tgt.leaf_pad
+        row_of_slot = np.full(nslots_t, R, np.int32)
+        row_of_slot[urow] = np.arange(R, dtype=np.int32)
+        self._otf_corr_gidx = gidx
+        self._otf_corr_rowof = row_of_slot
         self._otf_near = True
         self._device_near = False
         self._use_panels = True
@@ -1079,6 +1106,9 @@ class FmmPlan:
                 len(self.tgt.leaf_ids),
                 m0=8,
                 sb=sbw,
+                # the OTF source rows are ~4.5 kB each ([CS+1, K]);
+                # cap the per-block union so the VMEM stage stays ~3 MB
+                ns_cap=768,
             )
 
     def near_panels(self, tgt_fields_host=None):
@@ -1104,9 +1134,17 @@ class FmmPlan:
                 dev = {"otf_tiles": self._otf_tiles(tf)}
                 if len(self.near_rows):
                     dt = jnp.dtype(self.config.dtype)
-                    dev["corr_rows"] = jnp.asarray(self._otf_corr_rows)
-                    dev["corr_cols"] = jnp.asarray(self._otf_corr_cols)
-                    dev["corr_vals"] = jnp.asarray(vsel, dt)
+                    K_s = self.src.leaf_pad
+                    G = len(self._otf_corr_gleaf)
+                    valw = np.zeros((G, K_s), np.dtype(self.config.dtype))
+                    valw[
+                        self._otf_corr_ginv,
+                        self._otf_corr_cols % K_s,
+                    ] = vsel
+                    dev["corr_valw"] = jnp.asarray(valw)
+                    dev["corr_gleaf"] = jnp.asarray(self._otf_corr_gleaf)
+                    dev["corr_gidx"] = jnp.asarray(self._otf_corr_gidx)
+                    dev["corr_rowof"] = jnp.asarray(self._otf_corr_rowof)
                 self._near_panel_cache[key] = dev
                 if len(self._near_panel_cache) > 4:
                     self._near_panel_cache.pop(
@@ -1213,6 +1251,8 @@ class FmmPlan:
                 dt,
             )
             out["sb_loc_src"] = jnp.asarray(self._otf_sb["loc_src"])
+            out["sb_loc_tgt"] = jnp.asarray(self._otf_sb["loc_tgt"])
+            out["sb_rowof"] = jnp.asarray(self._otf_sb["row_of_leaf"])
             out["sb_cmeta"] = jnp.asarray(self._otf_sb["cmeta"])
         return out
 
@@ -1240,11 +1280,12 @@ class FmmPlan:
                 qt,
                 ot["sb_tgt"],
                 {"loc_src": ot["sb_loc_src"],
+                 "loc_tgt": ot["sb_loc_tgt"],
                  "cmeta": ot["sb_cmeta"]},
                 self._otf_sb,
                 self._otf_KQ,
                 kappa=float(getattr(kern, "kappa", 0.0) or 0.0),
-            )[:nl_t]
+            )[ot["sb_rowof"]]
         else:
             sslot, tslot = ot["sslot"], ot["tslot"]
             ch = self._otf_chunk  # static (baked into the trace)
@@ -1273,17 +1314,25 @@ class FmmPlan:
                 indices_are_sorted=True,
             )
             res = seg[:nl_t]
-        if "corr_vals" in dev:
-            # correction deltas: sorted slot-space COO (O(N) entries)
-            v = dev["corr_vals"] * ql.reshape(-1)[dev["corr_cols"]]
-            corr = jax.ops.segment_sum(
-                v,
-                dev["corr_rows"],
-                num_segments=nl_t * KT,
-                indices_are_sorted=True,
-            )
-            res = res + corr.reshape(nl_t, KT)
+        res = self._near_otf_corr(dev, ql, res, nl_t, KT)
         return res
+
+    def _near_otf_corr(self, dev, ql, res, nl_t, KT):
+        """Correction-delta product: leaf-tile charge gathers per
+        (target slot, source leaf) group, dense window reduce, then
+        two small gathers back to slot rows (scatter-free)."""
+        if "corr_valw" not in dev:
+            return res
+        qlz = jnp.concatenate(
+            [ql, jnp.zeros((1, ql.shape[1]), ql.dtype)], axis=0
+        )
+        qg = qlz[dev["corr_gleaf"]]            # [G, K] 256 B rows
+        s_g = jnp.sum(dev["corr_valw"] * qg, axis=1)
+        s_g = jnp.concatenate([s_g, jnp.zeros(1, ql.dtype)])
+        rs = jnp.sum(s_g[dev["corr_gidx"]], axis=1)
+        rs = jnp.concatenate([rs, jnp.zeros(1, ql.dtype)])
+        corr = rs[dev["corr_rowof"]]
+        return res + corr.reshape(nl_t, KT)
 
     def _near_blocks_fn(self, tgt_fields_host):
         """Jitted device builder of the regular-quadrature interaction
@@ -1429,6 +1478,8 @@ class FmmPlan:
         if getattr(self, "_p2p_sb", None) is not None:
             sbm = self._p2p_sb
             d["p2p_sb_loc_src"] = jnp.asarray(sbm["loc_src"])
+            d["p2p_sb_loc_tgt"] = jnp.asarray(sbm["loc_tgt"])
+            d["p2p_sb_rowof"] = jnp.asarray(sbm["row_of_leaf"])
             d["p2p_sb_cmeta"] = jnp.asarray(sbm["cmeta"])
             # plan-constant [nl, 3, K] leaf xyz tiles for the packed
             # charge ride-along (ops/p2p_tile.pack_xyzq)
@@ -2185,11 +2236,12 @@ class FmmPlan:
         xyzq = pack_xyzq(d["p2p_sb_xyz3"], qlt[:, None, :])
         md = {
             "loc_src": d["p2p_sb_loc_src"],
+            "loc_tgt": d["p2p_sb_loc_tgt"],
             "cmeta": d["p2p_sb_cmeta"],
         }
         out = p2p_superblock_laplace(
             xyzq, md, self._p2p_sb, kern.eps2
-        )[:nl]
+        )[d["p2p_sb_rowof"]]  # [nl, 4, K] in leaf order
         out_rows = out.transpose(0, 2, 1).reshape(nl * K, 4)
         if slots:
             return jnp.where(d["t_slot_mask"][:, None], out_rows, 0.0)

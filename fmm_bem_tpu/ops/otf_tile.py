@@ -98,14 +98,8 @@ def otf_superblock_bem(src_stage_tab, q_tiles, tgt_tab, meta_dev, meta,
 
     xyzq = jnp.concatenate([src_stage_tab, q_tiles], axis=1)
     src_stage = xyzq[meta_dev["loc_src"]]  # [nsb, ns_pad, CS+1, K]
-    nl_t_pad = nsb * sb
-    tgt = tgt_tab[:-1]
-    if tgt.shape[0] < nl_t_pad:
-        tgt = jnp.concatenate(
-            [tgt, jnp.broadcast_to(
-                tgt_tab[-1:], (nl_t_pad - tgt.shape[0], 4, K))]
-        )
-    tgt_stage = tgt[:nl_t_pad].reshape(nsb, sb, 4, K)
+    # per-block target gather (variable-length leaf-contiguous blocks)
+    tgt_stage = tgt_tab[meta_dev["loc_tgt"]]  # [nsb, sb, 4, K]
 
     def kern(cm_ref, src_ref, tgt_ref, o_ref):
         j = pl.program_id(1)
@@ -123,8 +117,11 @@ def otf_superblock_bem(src_stage_tab, q_tiles, tgt_tab, meta_dev, meta,
                 tc = [t[d: d + 1, :].reshape(K, 1) for d in range(3)]
                 bc_col = t[3: 4, :].reshape(K, 1)
                 is_g = bc_col == 0.0
-                acc = jnp.zeros((1, K), dt)
-                for kk in range(m0):
+
+                # fori over the m0 source tiles: a fully unrolled
+                # CB*m0*KQ plane pipeline exceeded the remote Mosaic
+                # compile at 524k; the loop body is ONE tile's math
+                def tile_body(kk, acc):
                     s = src_ref[0, pl.ds(cm_ref[0, c8, kk], 1)][0]
                     G = jnp.zeros((K, K), dt)
                     dG = jnp.zeros((K, K), dt)
@@ -155,7 +152,11 @@ def otf_superblock_bem(src_stage_tab, q_tiles, tgt_tab, meta_dev, meta,
                             dG = dG + w * dn * inv_r * inv_r * inv_r
                     blk = jnp.where(is_g, G, dG)
                     q = s[CS: CS + 1, :]
-                    acc = acc + jnp.sum(blk * q, axis=1)[None, :]
+                    return acc + jnp.sum(blk * q, axis=1)[None, :]
+
+                acc = jax.lax.fori_loop(
+                    0, m0, tile_body, jnp.zeros((1, K), dt)
+                )
                 o_ref[0, pl.ds(ct, 1)] += acc
 
     out = pl.pallas_call(

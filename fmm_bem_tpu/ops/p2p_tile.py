@@ -35,14 +35,24 @@ import jax.numpy as jnp
 SENTINEL = 1e15
 
 
-def build_p2p_superblocks(sslot, tslot, nl_s, nl_t, m0=8, sb=256):
+def build_p2p_superblocks(sslot, tslot, nl_s, nl_t, m0=8, sb=256,
+                          ns_cap=1536, nj_cap=256):
     """Host-side chunk + super-block structures.
 
+    Super-blocks are formed GREEDILY over the target-leaf order: a
+    block closes when it reaches ``sb`` leaves or its source-leaf
+    union would exceed ``ns_cap`` — Morton order is spatially local
+    for volume point clouds, but surface meshes jump across the
+    z-curve, and an uncapped fixed-stride block at 524k panels pulled
+    a 70%-of-all-leaves union (a 50 MB VMEM stage that killed the
+    compile).
+
     Returns dict of numpy arrays:
-      loc_src [nsb, ns_pad]  global source-leaf id per local slot
-                             (dummy slots -> nl_s, the sentinel tile)
-      pidx_l  [nsb, nj, m0]  LOCAL source slot per chunk entry
-      ct_l    [nsb, nj]      local target leaf per chunk (dummy = sb)
+      loc_src  [nsb, ns_pad]  global source-leaf id per local slot
+                              (dummy slots -> nl_s, the sentinel tile)
+      loc_tgt  [nsb, sb]      global target-leaf id (dummy -> nl_t)
+      row_of_leaf [nl_t]      flattened output row of each leaf
+      cmeta    [nsb, nj8*8, m0+1]  chunk metadata (see below)
     """
     sslot = np.asarray(sslot)
     tslot = np.asarray(tslot)
@@ -52,7 +62,6 @@ def build_p2p_superblocks(sslot, tslot, nl_s, nl_t, m0=8, sb=256):
     m_per = np.diff(row_ptr)
     nchunk = -(-m_per // m0)
 
-    nsb = max(-(-nl_t // sb), 1)
     # per-leaf chunk expansion (global)
     C = int(nchunk.sum())
     l_of_c = np.repeat(np.arange(nl_t), nchunk)
@@ -67,18 +76,53 @@ def build_p2p_superblocks(sslot, tslot, nl_s, nl_t, m0=8, sb=256):
         valid, ss[np.clip(pid, 0, max(len(ss) - 1, 0))], nl_s
     ).astype(np.int64)
 
-    sb_of_c = l_of_c // sb
+    # greedy leaf-contiguous blocks under three caps: target count,
+    # source-union size (VMEM stage), and CHUNK count — the grid is
+    # rectangular over (block, chunk-step), so uneven per-block chunk
+    # counts turn straight into padded (skipped but scheduled) steps
+    blocks = []
+    lo = 0
+    union = set()
+    cur_chunks = 0
+    for l in range(nl_t):
+        srcs_l = set(ss[row_ptr[l]: row_ptr[l + 1]].tolist())
+        ch_l = int(nchunk[l])
+        if l > lo and (
+            len(union | srcs_l) > ns_cap
+            or l - lo >= sb
+            or cur_chunks + ch_l > nj_cap
+        ):
+            blocks.append((lo, l))
+            lo, union, cur_chunks = l, set(srcs_l), ch_l
+        else:
+            union |= srcs_l
+            cur_chunks += ch_l
+    blocks.append((lo, nl_t))
+    nsb = len(blocks)
+    sb = max(hi - lo for lo, hi in blocks)
+    sb = -(-sb // 8) * 8
+
+    sb_of_l = np.zeros(nl_t, np.int64)
+    for i, (lo, hi) in enumerate(blocks):
+        sb_of_l[lo:hi] = i
+    sb_of_c = sb_of_l[l_of_c]
     nj = int(np.bincount(sb_of_c, minlength=nsb).max()) if C else 1
 
     ns_pad = 8
     loc_lists = []
-    for i in range(nsb):
+    for i, (lo, hi) in enumerate(blocks):
         sel = np.nonzero(sb_of_c == i)[0]
         uniq = np.unique(src_g[sel])
         uniq = uniq[uniq != nl_s]
         loc_lists.append(uniq)
         ns_pad = max(ns_pad, len(uniq) + 1)
     ns_pad = -(-ns_pad // 8) * 8
+
+    loc_tgt = np.full((nsb, sb), nl_t, np.int32)
+    row_of_leaf = np.zeros(nl_t, np.int32)
+    for i, (lo, hi) in enumerate(blocks):
+        loc_tgt[i, : hi - lo] = np.arange(lo, hi, dtype=np.int32)
+        row_of_leaf[lo:hi] = i * sb + np.arange(hi - lo)
 
     # 8 chunks per grid step: Mosaic SMEM blocks need their
     # second-to-last dim divisible by 8, and the batching amortises
@@ -90,7 +134,7 @@ def build_p2p_superblocks(sslot, tslot, nl_s, nl_t, m0=8, sb=256):
     loc_src = np.full((nsb, ns_pad), nl_s, np.int32)
     cmeta = np.full((nsb, nj_pad, m0 + 1), ns_pad - 1, np.int32)
     cmeta[:, :, m0] = sb  # dummy chunks skip via ct == sb
-    for i in range(nsb):
+    for i, (lo, hi) in enumerate(blocks):
         uniq = loc_lists[i]
         loc_src[i, : len(uniq)] = uniq
         # global -> local map (dummy nl_s -> last slot, which holds the
@@ -98,13 +142,15 @@ def build_p2p_superblocks(sslot, tslot, nl_s, nl_t, m0=8, sb=256):
         g2l = {g: li for li, g in enumerate(uniq)}
         sel = np.nonzero(sb_of_c == i)[0]
         for jj, c in enumerate(sel):
-            cmeta[i, jj, m0] = l_of_c[c] - i * sb
+            cmeta[i, jj, m0] = l_of_c[c] - lo
             for kk in range(m0):
                 g = src_g[c, kk]
                 if g != nl_s:
                     cmeta[i, jj, kk] = g2l[g]
     return {
         "loc_src": loc_src,
+        "loc_tgt": loc_tgt,
+        "row_of_leaf": row_of_leaf,
         "cmeta": cmeta,
         "nsb": nsb,
         "nj8": nj8,
@@ -145,20 +191,9 @@ def p2p_superblock_laplace(xyzq, meta_dev, meta, eps2, interpret=False):
     dt = xyzq.dtype
 
     src_stage = xyzq[meta_dev["loc_src"]]  # [nsb, ns_pad, 4, K]
-    # target tiles: leaves are globally ordered, so the super-block's
-    # targets are a contiguous slice — pad to nsb*sb and reshape
-    nl_t_pad = nsb * sb
-    tgt = xyzq[:-1]
-    if tgt.shape[0] < nl_t_pad:
-        tgt = jnp.concatenate(
-            [
-                tgt,
-                jnp.broadcast_to(
-                    xyzq[-1:], (nl_t_pad - tgt.shape[0], 4, K)
-                ),
-            ]
-        )
-    tgt_stage = tgt[:nl_t_pad].reshape(nsb, sb, 4, K)
+    # per-block target gather (blocks are leaf-contiguous but
+    # variable-length; dummies hit the sentinel tile)
+    tgt_stage = xyzq[meta_dev["loc_tgt"]]  # [nsb, sb, 4, K]
 
     def kern(cm_ref, src_ref, tgt_ref, o_ref):
         j = pl.program_id(1)

@@ -96,7 +96,7 @@ def near_bytes(plan):
         return int(np.prod(panels["A"].shape)) * 4
     # otf mode: the near store is the correction COO + the otf tiles
     tot = 0
-    for k in ("corr_rows", "corr_cols", "corr_vals"):
+    for k in ("corr_valw", "corr_gleaf", "corr_gidx", "corr_rowof"):
         if k in panels:
             tot += int(np.prod(panels[k].shape)) * panels[k].dtype.itemsize
     for grp in ("s_tiles", "t_tiles"):
@@ -167,7 +167,7 @@ def main():
         del plan
 
     nlist = (
-        () if MODE == "bem"
+        () if MODE in ("bem", "otf")
         else (250_000,) if QUICK
         else (125_000, 250_000, 500_000, 1_000_000)
     )

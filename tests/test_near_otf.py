@@ -68,7 +68,7 @@ def test_otf_store_is_small(sphere4):
     big = int(np.prod(big_dev["A"].shape)) * big_dev["A"].dtype.itemsize
     small = sum(
         int(np.prod(otf_dev[k].shape)) * otf_dev[k].dtype.itemsize
-        for k in ("corr_rows", "corr_cols", "corr_vals")
+        for k in ("corr_valw", "corr_gleaf", "corr_gidx", "corr_rowof")
     )
     # the O(N) correction COO is a small fraction of the cached store
     assert small < 0.25 * big

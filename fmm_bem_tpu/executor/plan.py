@@ -48,6 +48,11 @@ from fmm_bem_tpu.traversal.lists import (
 )
 
 
+#: correction-window store budget: beyond it the OTF mode keeps
+#: padded-row entry lists instead (see FmmPlan._build_near_otf)
+_OTF_WINDOW_LIMIT = 1 << 30
+
+
 def _seg_sum(x, ids, num):
     return jax.ops.segment_sum(x, ids, num_segments=num)
 
@@ -1073,6 +1078,30 @@ class FmmPlan:
         row_of_slot[urow] = np.arange(R, dtype=np.int32)
         self._otf_corr_gidx = gidx
         self._otf_corr_rowof = row_of_slot
+        # beyond ~1 GB of (mostly-empty) leaf windows, fall back to
+        # padded-row entry lists: slower per iteration (scalar charge
+        # gathers) but 4-8x smaller — the 2.1M-panel windows hit
+        # 1.7 GB at ~12% density
+        self._otf_corr_windowed = (
+            G * K_s * np.dtype(self.config.dtype).itemsize
+            <= _OTF_WINDOW_LIMIT
+        )
+        if not self._otf_corr_windowed:
+            erow, einv = np.unique(
+                self._otf_corr_rows, return_inverse=True
+            )
+            Re = len(erow)
+            fan_e = np.bincount(einv)
+            We = int(-(-int(fan_e.max(initial=1)) // 8) * 8)
+            colp = np.zeros((Re, We), np.int32)
+            eorder = np.argsort(einv, kind="stable")
+            ke = np.concatenate([np.arange(c) for c in fan_e])
+            colp[einv[eorder], ke] = self._otf_corr_cols[eorder]
+            self._otf_corr_colp = colp
+            self._otf_corr_eorder = (einv[eorder], ke, eorder)
+            rowse = np.full(nslots_t, Re, np.int32)
+            rowse[erow] = np.arange(Re, dtype=np.int32)
+            self._otf_corr_rowof_e = rowse
         self._otf_near = True
         self._device_near = False
         self._use_panels = True
@@ -1132,8 +1161,7 @@ class FmmPlan:
             )
             if getattr(self, "_otf_near", False):
                 dev = {"otf_tiles": self._otf_tiles(tf)}
-                if len(self.near_rows):
-                    dt = jnp.dtype(self.config.dtype)
+                if len(self.near_rows) and self._otf_corr_windowed:
                     K_s = self.src.leaf_pad
                     G = len(self._otf_corr_gleaf)
                     valw = np.zeros((G, K_s), np.dtype(self.config.dtype))
@@ -1145,6 +1173,18 @@ class FmmPlan:
                     dev["corr_gleaf"] = jnp.asarray(self._otf_corr_gleaf)
                     dev["corr_gidx"] = jnp.asarray(self._otf_corr_gidx)
                     dev["corr_rowof"] = jnp.asarray(self._otf_corr_rowof)
+                elif len(self.near_rows):
+                    ei, ke, eorder = self._otf_corr_eorder
+                    valp = np.zeros(
+                        self._otf_corr_colp.shape,
+                        np.dtype(self.config.dtype),
+                    )
+                    valp[ei, ke] = vsel[eorder]
+                    dev["corr_colp"] = jnp.asarray(self._otf_corr_colp)
+                    dev["corr_valp"] = jnp.asarray(valp)
+                    dev["corr_rowof_e"] = jnp.asarray(
+                        self._otf_corr_rowof_e
+                    )
                 self._near_panel_cache[key] = dev
                 if len(self._near_panel_cache) > 4:
                     self._near_panel_cache.pop(
@@ -1320,19 +1360,29 @@ class FmmPlan:
     def _near_otf_corr(self, dev, ql, res, nl_t, KT):
         """Correction-delta product: leaf-tile charge gathers per
         (target slot, source leaf) group, dense window reduce, then
-        two small gathers back to slot rows (scatter-free)."""
-        if "corr_valw" not in dev:
-            return res
-        qlz = jnp.concatenate(
-            [ql, jnp.zeros((1, ql.shape[1]), ql.dtype)], axis=0
-        )
-        qg = qlz[dev["corr_gleaf"]]            # [G, K] 256 B rows
-        s_g = jnp.sum(dev["corr_valw"] * qg, axis=1)
-        s_g = jnp.concatenate([s_g, jnp.zeros(1, ql.dtype)])
-        rs = jnp.sum(s_g[dev["corr_gidx"]], axis=1)
-        rs = jnp.concatenate([rs, jnp.zeros(1, ql.dtype)])
-        corr = rs[dev["corr_rowof"]]
-        return res + corr.reshape(nl_t, KT)
+        two small gathers back to slot rows (scatter-free).  The
+        padded-row variant (corr_colp) trades scalar charge gathers
+        for a 4-8x smaller store at multi-million-panel sizes."""
+        if "corr_valw" in dev:
+            qlz = jnp.concatenate(
+                [ql, jnp.zeros((1, ql.shape[1]), ql.dtype)], axis=0
+            )
+            qg = qlz[dev["corr_gleaf"]]        # [G, K] 256 B rows
+            s_g = jnp.sum(dev["corr_valw"] * qg, axis=1)
+            s_g = jnp.concatenate([s_g, jnp.zeros(1, ql.dtype)])
+            rs = jnp.sum(s_g[dev["corr_gidx"]], axis=1)
+            rs = jnp.concatenate([rs, jnp.zeros(1, ql.dtype)])
+            corr = rs[dev["corr_rowof"]]
+            return res + corr.reshape(nl_t, KT)
+        if "corr_colp" in dev:
+            qlf = ql.reshape(-1)
+            rows = jnp.sum(
+                dev["corr_valp"] * qlf[dev["corr_colp"]], axis=1
+            )
+            rows = jnp.concatenate([rows, jnp.zeros(1, ql.dtype)])
+            corr = rows[dev["corr_rowof_e"]]
+            return res + corr.reshape(nl_t, KT)
+        return res
 
     def _near_blocks_fn(self, tgt_fields_host):
         """Jitted device builder of the regular-quadrature interaction

@@ -97,9 +97,6 @@ def otf_superblock_bem(src_stage_tab, q_tiles, tgt_tab, meta_dev, meta,
     dt = q_tiles.dtype
 
     xyzq = jnp.concatenate([src_stage_tab, q_tiles], axis=1)
-    src_stage = xyzq[meta_dev["loc_src"]]  # [nsb, ns_pad, CS+1, K]
-    # per-block target gather (variable-length leaf-contiguous blocks)
-    tgt_stage = tgt_tab[meta_dev["loc_tgt"]]  # [nsb, sb, 4, K]
 
     def kern(cm_ref, src_ref, tgt_ref, o_ref):
         j = pl.program_id(1)
@@ -159,28 +156,68 @@ def otf_superblock_bem(src_stage_tab, q_tiles, tgt_tab, meta_dev, meta,
                 )
                 o_ref[0, pl.ds(ct, 1)] += acc
 
-    out = pl.pallas_call(
-        kern,
-        grid=(nsb, nj8),
-        in_specs=[
-            pl.BlockSpec((1, CB, m0 + 1), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, ns_pad, CS + 1, K),
-                         lambda i, j: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sb, 4, K), lambda i, j: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, sb, K), lambda i, j: (i, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((nsb, sb, K), dt),
-        cost_estimate=pl.CostEstimate(
-            flops=int(2 * meta["npairs"] * K * K * KQ * 10),
-            bytes_accessed=int(src_stage.size + tgt_stage.size) * 4,
-            transcendentals=int(meta["npairs"] * K * K * KQ),
-        ),
-        interpret=interpret,
-    )(meta_dev["cmeta"], src_stage, tgt_stage)
+    # segment the block staging: the per-block source unions overlap
+    # (Morton halos), so staging ALL blocks at once materialises
+    # 5-15x the leaf tables — 2.7 GB at 2.1M panels.  Each segment
+    # stages ~256 MB, runs its grid slice, and the transient is freed
+    # before the next (one executable, reused per segment).
+    row_bytes = ns_pad * (CS + 1) * K * 4
+    SEG = max(8, (256 << 20) // max(row_bytes, 1))
+    nseg = -(-nsb // SEG)
+
+    def run_segment(cmeta_s, src_stage_s, tgt_stage_s):
+        return pl.pallas_call(
+            kern,
+            grid=(SEG, nj8),
+            in_specs=[
+                pl.BlockSpec((1, CB, m0 + 1), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, ns_pad, CS + 1, K),
+                             lambda i, j: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, sb, 4, K), lambda i, j: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, sb, K), lambda i, j: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((SEG, sb, K), dt),
+            cost_estimate=pl.CostEstimate(
+                flops=int(2 * meta["npairs"] * K * K * KQ * 10 / nseg),
+                bytes_accessed=int(SEG * row_bytes),
+                transcendentals=int(
+                    meta["npairs"] * K * K * KQ / nseg
+                ),
+            ),
+            interpret=interpret,
+        )(cmeta_s, src_stage_s, tgt_stage_s)
+
+    loc_src = meta_dev["loc_src"]
+    loc_tgt = meta_dev["loc_tgt"]
+    cmeta = meta_dev["cmeta"]
+    pad_b = nseg * SEG - nsb
+    if pad_b:
+        loc_src = jnp.concatenate(
+            [loc_src,
+             jnp.full((pad_b,) + loc_src.shape[1:],
+                      src_stage_tab.shape[0] - 1, loc_src.dtype)]
+        )
+        loc_tgt = jnp.concatenate(
+            [loc_tgt,
+             jnp.full((pad_b,) + loc_tgt.shape[1:],
+                      tgt_tab.shape[0] - 1, loc_tgt.dtype)]
+        )
+        dummy_meta = jnp.full(
+            (pad_b,) + cmeta.shape[1:], 0, cmeta.dtype
+        ).at[:, :, m0].set(sb)  # ct == sb -> skipped
+        cmeta = jnp.concatenate([cmeta, dummy_meta])
+    outs = []
+    for s0 in range(0, nseg * SEG, SEG):
+        src_stage = xyzq[loc_src[s0: s0 + SEG]]
+        tgt_stage = tgt_tab[loc_tgt[s0: s0 + SEG]]
+        outs.append(
+            run_segment(cmeta[s0: s0 + SEG], src_stage, tgt_stage)
+        )
+    out = jnp.concatenate(outs, axis=0)[:nsb]
     return out.reshape(nsb * sb, K)

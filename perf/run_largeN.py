@@ -96,7 +96,8 @@ def near_bytes(plan):
         return int(np.prod(panels["A"].shape)) * 4
     # otf mode: the near store is the correction COO + the otf tiles
     tot = 0
-    for k in ("corr_valw", "corr_gleaf", "corr_gidx", "corr_rowof"):
+    for k in ("corr_valw", "corr_gleaf", "corr_gidx", "corr_rowof",
+              "corr_colp", "corr_valp", "corr_rowof_e"):
         if k in panels:
             tot += int(np.prod(panels[k].shape)) * panels[k].dtype.itemsize
     for grp in ("s_tiles", "t_tiles"):

@@ -50,6 +50,9 @@ class FMMConfig:
 
     theta: float = 0.5
     ncrit: int = 64
+    #: dump the ASCII box hierarchy at plan build (ref FMMOptions
+    #: printTree / Octree.hpp:736-753)
+    print_tree: bool = False
     #: rebuild the tree once with a smaller ncrit when the max/mean
     #: leaf-occupancy ratio exceeds 2 (leaf tiles pad to the MAX, so
     #: one full leaf against a low mean taxes every P2P tile — a

@@ -80,6 +80,39 @@ class Tree:
     def side_length(self, level) -> np.ndarray:
         return self.root_side / (2.0 ** np.asarray(level, dtype=np.float64))
 
+    def format_tree(self, max_boxes=None) -> str:
+        """ASCII outline of the box hierarchy (2-space indent per
+        level, depth-first), the reference's tree printer
+        (Octree.hpp:736-753 / FMMOptions printTree).  ``max_boxes``
+        truncates huge trees."""
+        lines = []
+
+        def walk(b):
+            if max_boxes is not None and len(lines) >= max_boxes:
+                return
+            lines.append(
+                "{}Box {}: level {}, {} bodies [{}, {}), center "
+                "({:.4g}, {:.4g}, {:.4g}){}".format(
+                    "  " * int(self.box_level[b]),
+                    b,
+                    int(self.box_level[b]),
+                    int(self.box_body_count[b]),
+                    int(self.box_body_start[b]),
+                    int(self.box_body_start[b] + self.box_body_count[b]),
+                    *self.box_center[b],
+                    " leaf" if self.box_is_leaf[b] else "",
+                )
+            )
+            if not self.box_is_leaf[b]:
+                c0 = int(self.box_child_start[b])
+                for c in range(c0, c0 + int(self.box_child_count[b])):
+                    walk(c)
+
+        walk(0)
+        if max_boxes is not None and len(lines) >= max_boxes:
+            lines.append(f"... ({self.num_boxes} boxes total)")
+        return "\n".join(lines)
+
 
 def bounding_cube(points):
     """Cubic, slightly inflated bounding box of ``points``.

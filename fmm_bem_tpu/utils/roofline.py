@@ -116,7 +116,7 @@ def _flop_byte_model(plan, p):
         (nl * K * cW * rdim + nl * cW + nl * K * rdim) * it,
     )
     panels, meta = plan.near_panels()
-    if panels is not None:
+    if panels is not None and "A" in panels:
         pb = int(np.prod(panels["A"].shape)) * it
         model["near"] = (2.0 * pb / it, pb)
     return model

@@ -83,3 +83,26 @@ def test_tree_small_n_single_leaf():
     pts = rng.uniform(0, 1, size=(10, 3))
     t = build_tree(pts, ncrit=64)
     assert t.num_boxes == 1 and t.box_is_leaf[0]
+
+
+def test_format_tree():
+    """ASCII tree printer (ref Octree.hpp:736-753): depth-first, one
+    line per box, 2-space indent per level, body ranges consistent."""
+    rng = np.random.default_rng(7)
+    tree = build_tree(rng.uniform(0, 1, (300, 3)), ncrit=16)
+    out = tree.format_tree()
+    lines = out.splitlines()
+    assert len(lines) == tree.num_boxes
+    assert lines[0].startswith("Box 0: level 0, 300 bodies")
+    # every leaf line is marked; indentation tracks the level
+    import re
+
+    for ln in lines:
+        m = re.match(r"( *)Box (\d+): level (\d+)", ln)
+        assert m, ln
+        assert len(m.group(1)) == 2 * int(m.group(3))
+        b = int(m.group(2))
+        assert ln.rstrip().endswith("leaf") == bool(tree.box_is_leaf[b])
+    # truncation cap
+    short = tree.format_tree(max_boxes=5)
+    assert "boxes total" in short.splitlines()[-1]

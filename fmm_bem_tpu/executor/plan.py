@@ -1743,21 +1743,36 @@ class FmmPlan:
         # one jitted call per table (eager op-by-op dispatch over a
         # tunneled backend costs seconds per op)
         jits = self.__dict__.setdefault("_slot_tab_jits", {})
+        nl_s, K_s = len(self.src.leaf_ids), self.src.leaf_pad
+        nl_t, K_t = len(self.tgt.leaf_ids), self.tgt.leaf_pad
         if "to2" not in jits:
+            # k-major P2M [K, nl, cW] and w-major L2P [rdim, cW, nl, K]
+            # layouts: the contraction axis leads, so the phase is a
+            # leading-axis tile accumulation.  The slot-major layouts'
+            # segment-reduce (over K for P2M, over lanes-cW for L2P)
+            # collapsed to ~4% of HBM peak at 524k panels — 7.1 ms per
+            # phase vs 0.38/1.2 ms for these layouts
+            # (perf/probe_p2m_l2p2.py; fixed the round-4 "attribution
+            # noise" that was actually a real 15 ms at rec 9).
             jits["to2"] = jax.jit(
-                lambda tab, idx, msk: jnp.where(
-                    msk[:, None], tab[..., idx, :], 0.0
+                lambda tab, idx, msk: jnp.transpose(
+                    jnp.where(msk[:, None], tab[..., idx, :], 0.0)
+                    .reshape(nl_s, K_s, -1),
+                    (1, 0, 2),
                 )
             )
             jits["to3"] = jax.jit(
-                lambda tab, idx, msk: jnp.where(
-                    msk[None, :, None], tab[..., idx, :], 0.0
+                lambda tab, idx, msk: jnp.transpose(
+                    jnp.where(msk[None, :, None], tab[..., idx, :], 0.0)
+                    .reshape(tab.shape[0], nl_s, K_s, -1),
+                    (0, 2, 1, 3),
                 )
             )
             jits["l2p_t"] = jax.jit(
                 lambda tab, idx, msk: jnp.transpose(
-                    jnp.where(msk[:, None, None], tab[idx], 0.0),
-                    (2, 0, 1),
+                    jnp.where(msk[:, None, None], tab[idx], 0.0)
+                    .reshape(nl_t, K_t, tab.shape[1], tab.shape[2]),
+                    (3, 2, 0, 1),
                 )
             )
 
@@ -1776,9 +1791,9 @@ class FmmPlan:
                 self.src.body_inv_sigma, dt
             )[s_idx]
         if "l2p_tab" in aux:
-            # result-component-major [rdim, nl*K, cW]: keeps the two
-            # TILED trailing dims dense (a trailing rdim=1 axis would
-            # pad to 128 lanes and cripple the einsum)
+            # w-major [rdim, cW, nl, K]: the cW contraction axis leads
+            # (see the layout note above), and a trailing rdim=1 axis
+            # never reaches the tiled dims
             aux["l2p_tab_t"] = jits["l2p_t"](
                 aux["l2p_tab"], t_idx, t_msk
             )
@@ -1980,22 +1995,7 @@ class FmmPlan:
             q_t = jnp.where(smask, q_t.reshape(nl_s * K_s), 0.0)
 
         # ---- P2M from slot-ordered tables: no body gathers
-        if "p2m_tab_t" in aux:
-            tab = aux["p2m_tab_t"]
-            if cdim == 1:
-                contrib = q_t[:, None] * tab
-            else:
-                contrib = jnp.einsum("nc,cnw->nw", q_t, tab)
-        else:
-            contrib = kern.p2m(
-                aux["s_fields_t"], q_t, aux["s_dn_t"], aux["s_isig_t"], p
-            ).reshape(-1, cW)
-            contrib = jnp.where(smask[:, None], contrib, 0.0)
-        M = (
-            jnp.zeros((st.num_boxes, cW), dt)
-            .at[d["s_leaf_ids"]]
-            .set(contrib.reshape(nl_s, K_s, cW).sum(axis=1))
-        )
+        M = self._p2m_slots(d, aux, q_t, p)
         M = self._phase_m2m(d, M)
 
         res_t = jnp.zeros((nl_t * K_t, rdim), dt)
@@ -2025,6 +2025,40 @@ class FmmPlan:
             )
         return res_t
 
+    def _p2m_slots(self, d, aux, q_t, p):
+        """Slot-space P2M (ref EvalInteractionLazy.hpp:254-260 role):
+        k-major table [(cdim,) K, nl, cW] contracted against the
+        [K, nl]-transposed charge tile — a leading-axis reduce that
+        accumulates [nl, cW] tiles, streaming the table at ~84% of HBM
+        peak.  The slot-major multiply + segment-reduce it replaces
+        ran at 4% of peak at 524k panels (7.1 -> 0.38 ms,
+        perf/probe_p2m_l2p2.py); the nl-row box scatter is 0.08 ms."""
+        kern = self.kernel
+        st = self.src.tree
+        dt = jnp.dtype(self.config.dtype)
+        cdim = getattr(kern, "charge_dim", 1)
+        nl_s, K_s = len(self.src.leaf_ids), self.src.leaf_pad
+        cW = kern.ncomp * kern.width(p)
+        if "p2m_tab_t" in aux:
+            tabk = aux["p2m_tab_t"]  # [(cdim,) K, nl, cW]
+            if cdim == 1:
+                qk = q_t.reshape(nl_s, K_s).T
+                contrib = (tabk * qk[:, :, None]).sum(axis=0)
+            else:
+                qk = q_t.reshape(nl_s, K_s, cdim)
+                contrib = jnp.einsum("nkc,cknw->nw", qk, tabk)
+        else:
+            contrib = kern.p2m(
+                aux["s_fields_t"], q_t, aux["s_dn_t"], aux["s_isig_t"], p
+            ).reshape(-1, cW)
+            contrib = jnp.where(d["s_slot_mask"][:, None], contrib, 0.0)
+            contrib = contrib.reshape(nl_s, K_s, cW).sum(axis=1)
+        return (
+            jnp.zeros((st.num_boxes, cW), dt)
+            .at[d["s_leaf_ids"]]
+            .set(contrib)
+        )
+
     def _near_pass_slots(self, panels, q_t):
         """Near field with charges already in leaf-tile layout: the
         panel contraction's native shape, zero index moves."""
@@ -2050,10 +2084,13 @@ class FmmPlan:
         cW = kern.ncomp * W
         Ll = L[d["t_leaf_ids"]]  # [nl, cW]
         if "l2p_tab_t" in aux:
-            # tab [rdim, nslots, cW]; per-leaf Ll broadcasts over the
-            # tile inside the fused multiply-reduce — one table stream
-            tab = aux["l2p_tab_t"].reshape(-1, nl_t, K_t, cW)
-            out = (tab * Ll[None, :, None, :]).sum(-1)  # [rdim, nl, K]
+            # w-major tab [rdim, cW, nl, K]: contraction axis leads,
+            # so the phase is a leading-axis accumulation of [nl, K]
+            # tiles (one table stream at ~7.1 -> 1.2 ms at 524k,
+            # perf/probe_p2m_l2p2.py — the lane-axis reduce of the
+            # slot-major layout ran at 4% of HBM peak)
+            tabw = aux["l2p_tab_t"]
+            out = (tabw * Ll.T[None, :, :, None]).sum(axis=1)
             return out.reshape(-1, nl_t * K_t).T
         Lb = jnp.broadcast_to(
             Ll[:, None, :], (nl_t, K_t, cW)

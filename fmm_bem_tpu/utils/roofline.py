@@ -156,27 +156,7 @@ def _phase_fns(plan, p, aux_keys, slot_ops):
 
     def p2m(d, aux, sf, q):
         if slot_ops is not None:
-            if "p2m_tab_t" in aux_keys:
-                tab = aux["p2m_tab_t"]
-                if cdim == 1:
-                    contrib = q[:, None] * tab
-                else:
-                    contrib = jnp.einsum(
-                        "nc,cnw->nw", q.reshape(nl * K, cdim), tab
-                    )
-            else:
-                contrib = plan.kernel.p2m(
-                    aux["s_fields_t"], q, aux["s_dn_t"], aux["s_isig_t"],
-                    p,
-                ).reshape(-1, cW)
-                contrib = jnp.where(
-                    d["s_slot_mask"][:, None], contrib, 0.0
-                )
-            return (
-                jnp.zeros((st.num_boxes, cW), dt)
-                .at[d["s_leaf_ids"]]
-                .set(contrib.reshape(nl, K, cW).sum(axis=1))
-            )
+            return plan._p2m_slots(d, aux, q, p)
         return plan._phase_p2m(d, aux, sf, q[d["s_perm"]], p)
 
     def l2p(d, aux, sf, L):
